@@ -1,0 +1,125 @@
+"""Mention detection: broadcast dictionary trie × transcripts, as an
+Arrow-batched ``mapInPandas`` operator.
+
+This is the Spark-first rendering of the reference's core operator — the
+ConceptMapper dictionary lookup (aggregate built at
+``ConceptMapperPipelineFactory.java:94-96``, invoked per sentence by
+``EntityFinder.java:97-125``).  Design (SURVEY.md §2.3 "dictionary lookup"):
+
+- the dictionary (10^4–10^6 rows) is collected driver-side, compiled into a
+  token trie, and **broadcast** — no shuffle of the 10^12-row transcript side;
+- detection is a **narrow** transformation: one fused stage from the
+  transcripts scan to the mentions output, no wide dependency, so it scales
+  linearly with executors (the scaling-efficiency target);
+- Python cost is one call per Arrow batch (``mapInPandas``), never per row;
+- errors are quarantined per row into an ``error`` column instead of failing
+  the task (the reference records per-document errors in its run catalog,
+  ``RunCatalogAE.java:107-112``; we do the same per partition in
+  kgpipe.lineage).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schemas
+from .normalize import MatchConfig, config_for
+from .obo import parse_obo, dictionary_rows
+from .trie import DictionaryTrie
+
+
+def build_dictionary_df(
+    spark: SparkSession,
+    obo_paths: dict[str, str],
+    configs: Optional[dict[str, MatchConfig]] = None,
+) -> DataFrame:
+    """Parse OBO files into one dictionary DataFrame (driver-side build with
+    per-namespace modifiers, mirroring
+    ``ConceptMapperDictionaryFileFactory.java:267-284``)."""
+    all_rows: list[dict] = []
+    for ontology, path in sorted(obo_paths.items()):
+        cfg = (configs or {}).get(ontology) or config_for(ontology)
+        all_rows.extend(dictionary_rows(parse_obo(path), ontology, cfg))
+    return spark.createDataFrame(all_rows, schema=schemas.DICTIONARY)
+
+
+def build_tries(
+    dictionary_rows_local: Iterable[dict],
+    configs: Optional[dict[str, MatchConfig]] = None,
+) -> dict[str, DictionaryTrie]:
+    """Group dictionary rows by ontology and compile one trie each (each
+    ontology carries its own knob config — per-ontology optimized params,
+    ``EntityFinder.java:133-170``)."""
+    by_ont: dict[str, list[dict]] = {}
+    for r in dictionary_rows_local:
+        by_ont.setdefault(r["ontology"], []).append(r)
+    out: dict[str, DictionaryTrie] = {}
+    for ont, rows in by_ont.items():
+        cfg = (configs or {}).get(ont) or config_for(ont)
+        out[ont] = DictionaryTrie.from_rows(rows, cfg)
+    return out
+
+
+def detect_mentions(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    configs: Optional[dict[str, MatchConfig]] = None,
+    drop_duplicates: bool = True,
+) -> DataFrame:
+    """transcripts × dictionary → mentions.
+
+    Mentions carry turn-relative char offsets (per-row invariant: per-turn
+    text equality under stable turn ordering — offsets never depend on
+    neighbouring turns, so partitioning is free to split conversations).
+    """
+    spark = transcripts.sparkSession
+    local_rows = [r.asDict() for r in dictionary.collect()]
+    tries = build_tries(local_rows, configs)
+    bc = spark.sparkContext.broadcast(tries)
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tries_local = bc.value
+        for pdf in batches:
+            out = {
+                "conv_id": [], "turn_idx": [], "ontology": [], "concept_id": [],
+                "begin": [], "end": [], "covered_text": [], "error": [],
+            }
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values
+            ):
+                if text is None:
+                    continue
+                try:
+                    for trie in tries_local.values():
+                        for ont, cid, b, e, cov in trie.scan_text(text):
+                            out["conv_id"].append(conv_id)
+                            out["turn_idx"].append(int(turn_idx))
+                            out["ontology"].append(ont)
+                            out["concept_id"].append(cid)
+                            out["begin"].append(b)
+                            out["end"].append(e)
+                            out["covered_text"].append(cov)
+                            out["error"].append(None)
+                except Exception as exc:  # quarantine, don't fail the task
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(int(turn_idx))
+                    out["ontology"].append(None)
+                    out["concept_id"].append("__ERROR__")
+                    out["begin"].append(-1)
+                    out["end"].append(-1)
+                    out["covered_text"].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(out)
+
+    mentions = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        scan_batches, schema=schemas.MENTIONS
+    )
+    if drop_duplicates:
+        # DuplicateAnnotationRemovalFilter_AE analogue (EntityFinder.java:104)
+        mentions = mentions.dropDuplicates(
+            ["conv_id", "turn_idx", "concept_id", "begin", "end"]
+        )
+    return mentions
