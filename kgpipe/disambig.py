@@ -1,0 +1,119 @@
+"""Entity-link disambiguation.
+
+Two stages, both declarative (no Python in the hot path):
+
+1. ``mayla_filter`` — the reference's precision-oriented post-filter
+   (``MaylaPostProcessingComponent.java:97-125``): per-mention drop rules
+   based on surface-form casing, in-document surface frequency, and equality
+   with the concept's canonical label.  Frequency becomes a substring-count
+   column expression; canonical labels attach via a broadcast join.
+
+2. ``tfidf_disambiguate`` — our scale extension (SURVEY.md §2.4 north-star):
+   when one span maps to several concepts (shared synonyms), keep the
+   concept with the strongest corpus support, scored by TF-IDF of its
+   unambiguous evidence across conversations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+GOLD_ANNOTATOR_ID = "99099099"  # reference's gold-set sentinel
+
+
+def _substring_count(text_col, sub_col):
+    """Occurrences of sub in text — StringUtils.countMatches analogue
+    (``MaylaPostProcessingComponent.java:115``) without leaving the JVM."""
+    return F.when(F.length(sub_col) > 0,
+                  ((F.length(text_col) - F.length(F.replace(text_col, sub_col)))
+                   / F.length(sub_col)).cast("int")).otherwise(F.lit(0))
+
+
+def mayla_filter(
+    mentions: DataFrame,
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    concept_freq: Optional[int] = None,
+    annotator_col: Optional[str] = None,
+) -> DataFrame:
+    """Keep/drop semantics of ``MaylaPostProcessingComponent.java:97-125``:
+
+    - gold-set rows (annotator == 99099099) always pass;
+    - no-freq mode (concept_freq is None): DROP unless the surface form is
+      all-caps OR starts uppercase (keep acronyms / capitalized);
+    - freq mode: DROP when (surface frequency in the turn text
+      < concept_freq) AND surface != canonical label.
+
+    Per-namespace thresholds live in ``MAYLA_CONCEPT_FREQ`` below.
+    """
+    text_src = transcripts.select("conv_id", "turn_idx", "text")
+    m = mentions.join(text_src, ["conv_id", "turn_idx"], "left")
+
+    canon = dictionary.select("concept_id", "canonical").dropDuplicates(["concept_id"])
+    m = m.join(F.broadcast(canon), "concept_id", "left")
+
+    surface = F.col("covered_text")
+    is_all_upper = (surface == F.upper(surface)) & (F.lower(surface) != surface)
+    starts_upper = F.substring(surface, 1, 1).rlike("[A-Z]")
+
+    if annotator_col and annotator_col in mentions.columns:
+        is_gold = F.col(annotator_col) == F.lit(GOLD_ANNOTATOR_ID)
+    else:
+        is_gold = F.lit(False)
+
+    if concept_freq is None:
+        keep = is_gold | is_all_upper | starts_upper
+    else:
+        freq = _substring_count(F.col("text"), surface)
+        keep = is_gold | (freq >= F.lit(concept_freq)) | (surface == F.col("canonical"))
+
+    return m.filter(keep).select(*mentions.columns)
+
+
+# per-namespace frequency thresholds (MaylaPostProcessingComponent.java:151-181)
+MAYLA_CONCEPT_FREQ: dict[str, int] = {
+    "CHEBI": 4, "PR": 40, "FUNK_GO_MF": 1, "FUNK_GO_BP": 20, "FUNK_GO_CC": 15,
+    "CL": 2, "SO": 1, "NCBI_TAXON": 26, "GO_MF": 4, "GO_BP": 7, "GO_CC": 10,
+}
+
+
+def tfidf_scores(mentions: DataFrame) -> DataFrame:
+    """TF-IDF of each concept per conversation: TF = mentions of the concept
+    in the conversation; DF = number of conversations mentioning it.
+    ``approx_count_distinct`` keeps the DF aggregation one-pass at scale."""
+    n_convs = mentions.select("conv_id").distinct().count()
+    tf = mentions.groupBy("conv_id", "concept_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = mentions.groupBy("concept_id").agg(
+        F.approx_count_distinct("conv_id").alias("df")
+    )
+    return (
+        tf.join(df, "concept_id")
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.lit(float(n_convs)) + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+
+
+def tfidf_disambiguate(mentions: DataFrame) -> DataFrame:
+    """Resolve span-ambiguous mentions (same (conv, turn, begin, end), several
+    concept ids — shared synonyms): keep the candidate with the highest
+    conversation-level TF-IDF support; ties break on concept_id for
+    determinism.  One window over the span key + one broadcast-able score
+    join; no Python."""
+    scores = tfidf_scores(mentions).select("conv_id", "concept_id", "tfidf")
+    m = mentions.join(scores, ["conv_id", "concept_id"], "left").fillna(
+        {"tfidf": 0.0}
+    )
+    w = Window.partitionBy("conv_id", "turn_idx", "begin", "end").orderBy(
+        F.desc("tfidf"), F.asc("concept_id")
+    )
+    return (
+        m.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") == 1)
+        .drop("__rank", "tfidf")
+    )

@@ -1,0 +1,132 @@
+"""End-to-end KG-construction pipeline and spark-submit entrypoint.
+
+transcripts → detect (broadcast trie, mapInPandas) → filters → Mayla/TF-IDF
+disambiguation → union-find canonicalization → triples → partitioned write,
+with per-partition lineage (resume = anti-join).  Mirrors the reference's
+three pipeline entry points (SURVEY.md §3) in one configurable driver.
+
+Run: ``spark-submit --py-files kgpipe.zip -m kgpipe.pipeline <args>`` or
+``python -m kgpipe.pipeline --transcripts ... --obo CL=path.obo --out ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .canon import canonicalize
+from .detect import build_dictionary_df, detect_mentions
+from .disambig import mayla_filter, tfidf_disambiguate
+from .filters import remove_duplicates
+from .lineage import run_with_lineage
+from .session import get_spark
+from .triples import all_triples, write_triples
+
+
+@dataclass
+class PipelineConfig:
+    obo_paths: dict[str, str] = field(default_factory=dict)
+    run_key: str = "CONCEPTMAPPER_DEFAULT"
+    cooc_window: int = 3
+    mayla: bool = False
+    mayla_concept_freq: Optional[int] = None
+    disambiguate: bool = True
+    canonical: bool = True
+    n_buckets: int = 64
+    salt_partitions: Optional[int] = None  # repartition width for skewed input
+
+
+def build_mentions(
+    transcripts: DataFrame, dictionary: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """transcripts → mentions with the configured post-processing chain."""
+    if cfg.salt_partitions:
+        # salted repartition before per-conversation work: conv_id plus a
+        # random-ish salt derived from turn_idx spreads hot conversations
+        # across tasks (SURVEY.md §4 custom piece #2); detection itself is
+        # per-row so correctness is unaffected.
+        from pyspark.sql import functions as F
+
+        transcripts = transcripts.repartition(
+            cfg.salt_partitions,
+            F.col("conv_id"),
+            F.pmod(F.col("turn_idx"), F.lit(8)),
+        )
+    mentions = detect_mentions(transcripts, dictionary)
+    mentions = remove_duplicates(mentions)
+    if cfg.mayla:
+        mentions = mayla_filter(
+            mentions, transcripts, dictionary, cfg.mayla_concept_freq
+        )
+    if cfg.disambiguate:
+        mentions = tfidf_disambiguate(mentions)
+    if cfg.canonical:
+        mentions = canonicalize(mentions, dictionary)
+    return mentions
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    output_path: str,
+    lineage_path: Optional[str] = None,
+) -> DataFrame:
+    """Full run; with *lineage_path* the run is resumable per bucket."""
+    dictionary = build_dictionary_df(spark, cfg.obo_paths)
+    concept_col = "canonical_id" if cfg.canonical else "concept_id"
+
+    def _stage(tdf: DataFrame):
+        mentions = build_mentions(tdf, dictionary, cfg)
+        triples = all_triples(
+            tdf, mentions.filter(mentions["concept_id"] != "__ERROR__"),
+            concept_col=concept_col, cooc_window=cfg.cooc_window,
+        )
+        return mentions, triples
+
+    if lineage_path:
+        return run_with_lineage(
+            spark, transcripts, _stage, cfg.run_key, lineage_path,
+            output_path, cfg.n_buckets,
+        )
+    mentions, triples = _stage(transcripts)
+    write_triples(triples, output_path, cfg.n_buckets, mode="overwrite")
+    return triples
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    ap = argparse.ArgumentParser(description="kgpipe KG-construction run")
+    ap.add_argument("--transcripts", required=True, help="parquet path or table")
+    ap.add_argument("--obo", action="append", default=[],
+                    help="ONTOLOGY=path.obo (repeatable)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--lineage", default=None)
+    ap.add_argument("--run-key", default="CONCEPTMAPPER_DEFAULT")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--cooc-window", type=int, default=3)
+    ap.add_argument("--mayla", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("kgpipe", master=args.master)
+    transcripts = (
+        spark.read.parquet(args.transcripts)
+        if "/" in args.transcripts
+        else spark.read.table(args.transcripts)
+    )
+    cfg = PipelineConfig(
+        obo_paths=dict(kv.split("=", 1) for kv in args.obo),
+        run_key=args.run_key,
+        n_buckets=args.buckets,
+        cooc_window=args.cooc_window,
+        mayla=args.mayla,
+    )
+    run_pipeline(spark, transcripts, cfg, args.out, args.lineage)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

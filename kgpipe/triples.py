@@ -1,0 +1,193 @@
+"""(subj, pred, obj) triple materialization into partitioned tables.
+
+Spark-first rendering of the reference's RDF sink
+(``PmcAnnotationRdfPipeline.java:126-142``, N-TRIPLES via
+``RdfFormat.NTRIPLES``; document-level triples
+``PmcOaDocumentRdfGenerator.java:24-42``; URI strategy
+``PmcOaDocumentSectionUriFactory.java:22-88`` — http ids pass through,
+typography types drop).  All triple emission is pure column expressions —
+one narrow ``select`` per family, a single aggregation for co-occurrence —
+so Catalyst fuses everything into the detection stage where possible.
+
+Vocabulary (public): RDF/OA/DCTERMS plus OBO PURLs for concepts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+OA_HAS_BODY = "http://www.w3.org/ns/oa#hasBody"
+OA_HAS_TARGET = "http://www.w3.org/ns/oa#hasTarget"
+DC_IS_PART_OF = "http://purl.org/dc/terms/isPartOf"
+IAO_DOCUMENT = "http://purl.obolibrary.org/obo/IAO_0000310"
+KGP = "http://purl.org/kgpipe/"
+PRED_DENOTES = KGP + "denotes"
+PRED_COOCCURS = KGP + "cooccursWith"
+PRED_ROLE = KGP + "hasRole"
+PRED_TOOL = KGP + "usedTool"
+CLASS_CONV = KGP + "Conversation"
+CLASS_TURN = KGP + "Turn"
+CONV_NS = "https://kg.example.org/conv/"
+OBO_PREFIX = "http://purl.obolibrary.org/obo/"
+
+
+def conv_uri_col(conv_id="conv_id"):
+    return F.concat(F.lit(CONV_NS), F.col(conv_id))
+
+
+def turn_uri_col(conv_id="conv_id", turn_idx="turn_idx"):
+    return F.concat(
+        F.lit(CONV_NS), F.col(conv_id), F.lit("#t"), F.col(turn_idx).cast("string")
+    )
+
+
+def concept_uri_col(concept_id="concept_id"):
+    """OBO PURL unless already an IRI (pass-through verbatim,
+    ``PmcOaDocumentSectionUriFactory.java:22-32``)."""
+    c = F.col(concept_id)
+    return F.when(c.startswith("http"), c).otherwise(
+        F.concat(F.lit(OBO_PREFIX), F.regexp_replace(c, ":", "_"))
+    )
+
+
+def _as_triples(df: DataFrame, subj, pred, obj, conv_id=None, turn_idx=None,
+                evidence=None) -> DataFrame:
+    cols = [
+        subj.alias("subj"),
+        pred.alias("pred"),
+        obj.alias("obj"),
+        (F.col(conv_id) if conv_id else F.lit(None).cast("string")).alias("conv_id"),
+        (F.col(turn_idx).cast("int") if turn_idx else F.lit(None).cast("int")).alias("turn_idx"),
+        (evidence if evidence is not None else
+         F.lit(None).cast("struct<begin:int,end:int,text:string>")).alias("evidence"),
+    ]
+    return df.select(*cols)
+
+
+def conversation_triples(transcripts: DataFrame) -> DataFrame:
+    """Document-level triples (analogue of ``<doc> rdf:type iao:publication``,
+    ``PmcOaDocumentRdfGenerator.java:33-42``) plus per-turn structure and
+    role/tool predicates (north-star role/tool-aware predicates)."""
+    convs = transcripts.select("conv_id").distinct()
+    t_conv = _as_triples(convs, conv_uri_col(), F.lit(RDF_TYPE), F.lit(IAO_DOCUMENT),
+                         conv_id="conv_id")
+    turns = transcripts.select("conv_id", "turn_idx", "role", "tool")
+    t_part = _as_triples(turns, turn_uri_col(), F.lit(DC_IS_PART_OF), conv_uri_col(),
+                         conv_id="conv_id", turn_idx="turn_idx")
+    t_role = _as_triples(
+        turns.filter(F.col("role").isNotNull()),
+        turn_uri_col(), F.lit(PRED_ROLE), F.col("role"),
+        conv_id="conv_id", turn_idx="turn_idx",
+    )
+    t_tool = _as_triples(
+        turns.filter(F.col("tool").isNotNull()),
+        turn_uri_col(), F.lit(PRED_TOOL), F.col("tool"),
+        conv_id="conv_id", turn_idx="turn_idx",
+    )
+    return t_conv.unionByName(t_part).unionByName(t_role).unionByName(t_tool)
+
+
+def mention_triples(mentions: DataFrame, concept_col: str = "concept_id") -> DataFrame:
+    """Annotation-level triples: (turn, denotes, concept) with span evidence
+    (the reference's per-annotation web-annotation RDF —
+    ``TextPositionWebAnnotationRdfGenerator`` wiring at
+    ``PmcAnnotationRdfPipeline.java:132-136`` — flattened to one triple +
+    evidence struct per mention)."""
+    ev = F.struct(
+        F.col("begin").alias("begin"),
+        F.col("end").alias("end"),
+        F.col("covered_text").alias("text"),
+    )
+    return _as_triples(
+        mentions, turn_uri_col(), F.lit(PRED_DENOTES), concept_uri_col(concept_col),
+        conv_id="conv_id", turn_idx="turn_idx", evidence=ev,
+    )
+
+
+def cooccurrence_triples(
+    mentions: DataFrame,
+    window: int = 3,
+    concept_col: str = "concept_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Concept co-occurrence within a conversation turn-window
+    (north-star co-occurrence predicates; SURVEY.md §2.3 last row).
+
+    Self-join on conv_id with a turn_idx band |Δ| <= window; ``a < b``
+    dedupe; aggregated count per (conv, pair).  The equi-key keeps it a
+    partitioned hash join; AQE's skew-join splitting covers hot conv_ids.
+    """
+    a = mentions.select(
+        "conv_id", F.col("turn_idx").alias("ta"), F.col(concept_col).alias("ca")
+    )
+    b = mentions.select(
+        "conv_id", F.col("turn_idx").alias("tb"), F.col(concept_col).alias("cb")
+    )
+    pairs = (
+        a.join(b, "conv_id")
+        .filter(
+            (F.abs(F.col("ta") - F.col("tb")) <= window) & (F.col("ca") < F.col("cb"))
+        )
+        .groupBy("conv_id", "ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    return _as_triples(
+        pairs, concept_uri_col("ca"), F.lit(PRED_COOCCURS), concept_uri_col("cb"),
+        conv_id="conv_id",
+    )
+
+
+def all_triples(transcripts: DataFrame, mentions: DataFrame,
+                concept_col: str = "concept_id", cooc_window: int = 3) -> DataFrame:
+    return (
+        conversation_triples(transcripts)
+        .unionByName(mention_triples(mentions, concept_col))
+        .unionByName(cooccurrence_triples(mentions, cooc_window, concept_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+def _nt_escape(col):
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"), '"', '\\\\"'),
+        "\n", "\\\\n",
+    )
+
+
+def to_ntriples_lines(triples: DataFrame) -> DataFrame:
+    """Render N-TRIPLES lines (the reference's RDF serialization format,
+    ``PmcAnnotationRdfPipeline.java:131``): IRIs bracketed, non-IRI objects
+    as quoted literals."""
+    obj = F.when(
+        F.col("obj").startswith("http"),
+        F.concat(F.lit("<"), F.col("obj"), F.lit(">")),
+    ).otherwise(F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"')))
+    return triples.select(
+        F.concat(
+            F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"), F.lit("> "),
+            obj, F.lit(" ."),
+        ).alias("value")
+    )
+
+
+def write_triples(
+    triples: DataFrame, path: str, n_buckets: int = 64, mode: str = "append"
+) -> None:
+    """Partitioned triple-table write: content-keyed bucket of conv_id
+    (deterministic under resume — SURVEY.md §7) as the partition column.
+    Parquet stands in for Iceberg in this harness; the layout (bucketed by
+    conv hash, snapshot-appendable) is Iceberg-compatible
+    (``bucket(conv_id)`` partition transform)."""
+    (
+        triples.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.coalesce("conv_id", F.lit(""))), F.lit(n_buckets)).cast("int")
+        )
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )

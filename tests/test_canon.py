@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+from kgpipe.canon import canonicalize, connected_components, synonym_edges
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z")], "src string, dst string"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["z"] == "z"
+
+
+def test_canonicalize_shared_synonym(spark):
+    # SYN:0000001 and SYN:0000002 share variant "shared gadget" (mini.obo
+    # union-find case) → both canonicalize to SYN:0000001
+    d_rows = [
+        ("SYN", "SYN:0000001", "alpha widget", "shared gadget", True, "shared gadget"),
+        ("SYN", "SYN:0000002", "beta widget", "shared gadget", True, "shared gadget"),
+        ("SYN", "SYN:0000002", "beta widget", "beta widget", True, "beta widget"),
+        ("CL", "CL:0000540", "neuron", "neuron", True, "neuron"),
+    ]
+    dictionary = spark.createDataFrame(
+        d_rows,
+        "ontology string, concept_id string, canonical string, variant string,"
+        " is_official boolean, variant_norm string",
+    )
+    m_rows = [
+        ("c1", 0, "SYN", "SYN:0000002", 0, 4, "beta widget", None),
+        ("c1", 1, "CL", "CL:0000540", 0, 6, "neuron", None),
+    ]
+    mentions = spark.createDataFrame(
+        m_rows,
+        "conv_id string, turn_idx int, ontology string, concept_id string,"
+        " begin int, end int, covered_text string, error string",
+    )
+    out = {(r.concept_id, r.canonical_id) for r in
+           canonicalize(mentions, dictionary).collect()}
+    assert ("SYN:0000002", "SYN:0000001") in out
+    assert ("CL:0000540", "CL:0000540") in out  # unmerged id maps to itself
+
+
+def test_synonym_edges_star_topology(spark):
+    d_rows = [
+        ("O", f"O:{i}", "x", "shared", True, "shared") for i in range(5)
+    ]
+    dictionary = spark.createDataFrame(
+        d_rows,
+        "ontology string, concept_id string, canonical string, variant string,"
+        " is_official boolean, variant_norm string",
+    )
+    edges = synonym_edges(dictionary).collect()
+    assert len(edges) == 4  # star: n-1 edges, not n*(n-1)/2
+    assert all(e.src == "O:0" for e in edges)

@@ -1,0 +1,82 @@
+"""Mayla disambiguation truth-table (FIXTURES.md F7), ported from
+``MaylaPostProcessingComponentTest.java:60-125`` and the
+``_ConceptFrequency`` variant: 4 mentions over the fixture sentence;
+no-freq mode keeps the acronym/capitalized surfaces (2 survive)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgpipe.disambig import mayla_filter, tfidf_disambiguate
+
+DOC = (
+    "As we look at the structure of TRF-10, we see how large it is "
+    "and want to make sure that Kit (stem cell factor receptor activity) is not on."
+)
+
+MENTIONS = [
+    # conv, turn, ontology, concept, begin, end, covered, error
+    ("d1", 0, "PR", "PR_1", 31, 37, DOC[31:37], None),    # "TRF-10"
+    ("d1", 0, "PR", "PR_2", 42, 45, DOC[42:45], None),    # "see"
+    ("d1", 0, "GO", "GO_1", 89, 92, DOC[89:92], None),    # "Kit"
+    ("d1", 0, "GO", "GO_1", 94, 128, DOC[94:128], None),  # long form
+]
+
+DICT_ROWS = [
+    ("PR", "PR_1", "TRF-10 protein", "TRF-10", True, "trf 10"),
+    ("PR", "PR_2", "visual perception", "see", True, "see"),
+    ("GO", "GO_1", "stem cell factor receptor activity",
+     "stem cell factor receptor activity", True,
+     "stem cell factor receptor activity"),
+]
+
+M_SCHEMA = ("conv_id string, turn_idx int, ontology string, concept_id string,"
+            " begin int, end int, covered_text string, error string")
+D_SCHEMA = ("ontology string, concept_id string, canonical string,"
+            " variant string, is_official boolean, variant_norm string")
+
+
+@pytest.fixture()
+def frames(spark):
+    mentions = spark.createDataFrame(MENTIONS, M_SCHEMA)
+    transcripts = spark.createDataFrame(
+        [("d1", 0, "user", DOC, None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    dictionary = spark.createDataFrame(DICT_ROWS, D_SCHEMA)
+    return mentions, transcripts, dictionary
+
+
+def test_mayla_no_freq_mode(spark, frames):
+    mentions, transcripts, dictionary = frames
+    kept = mayla_filter(mentions, transcripts, dictionary, concept_freq=None)
+    rows = {(r.concept_id, r.begin) for r in kept.collect()}
+    # reference expects 2 survivors: "TRF-10" (all caps+digits ⇒ starts
+    # upper) and "Kit" (initial uppercase); "see" and the long lowercase
+    # form are dropped (MaylaPostProcessingComponentTest expectedAnnotCount=2)
+    assert rows == {("PR_1", 31), ("GO_1", 89)}
+
+
+def test_mayla_freq_mode(spark, frames):
+    mentions, transcripts, dictionary = frames
+    kept = mayla_filter(mentions, transcripts, dictionary, concept_freq=3)
+    rows = {(r.concept_id, r.begin) for r in kept.collect()}
+    # freq mode: every surface occurs once (<3) ⇒ dropped unless the
+    # surface equals the canonical label — only the long GO_1 form matches
+    # its canonical
+    assert rows == {("GO_1", 94)}
+
+
+def test_tfidf_disambiguate_resolves_shared_span(spark):
+    # same span maps to two concepts; A has corpus support elsewhere
+    rows = [
+        ("c1", 0, "SYN", "SYN:A", 0, 5, "gizmo", None),
+        ("c1", 0, "SYN", "SYN:B", 0, 5, "gizmo", None),
+        ("c1", 3, "SYN", "SYN:A", 2, 7, "alpha", None),
+        ("c1", 5, "SYN", "SYN:A", 2, 7, "alpha", None),
+    ]
+    m = spark.createDataFrame(rows, M_SCHEMA)
+    out = tfidf_disambiguate(m)
+    picked = {(r.turn_idx, r.begin): r.concept_id for r in out.collect()}
+    assert picked[(0, 0)] == "SYN:A"
+    assert out.count() == 3  # one winner per distinct span

@@ -1,0 +1,139 @@
+"""Resume/checkpoint semantics (FIXTURES.md F6 scenario): pre-populate some
+partitions COMPLETE, run, assert only OUTSTANDING recompute and the final
+output equals a clean full run."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kgpipe.lineage import (
+    COMPLETE,
+    ERROR,
+    OUTSTANDING,
+    outstanding,
+    read_lineage,
+    run_with_lineage,
+    runs_map,
+    status_counts,
+    with_bucket,
+)
+
+T_SCHEMA = ("conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp")
+RUN_KEY = "CONCEPTMAPPER_CL_TEST"
+
+
+def _transcripts(spark, n=40):
+    rows = [
+        (f"conv{i:04d}", t, "user", f"turn {t} of conv {i} neuron cell", None, None)
+        for i in range(n)
+        for t in range(3)
+    ]
+    return spark.createDataFrame(rows, T_SCHEMA)
+
+
+def _fake_pipeline(tdf):
+    mentions = tdf.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("CL").alias("ontology"),
+        F.lit("CL:0000540").alias("concept_id"),
+        F.lit(10).alias("begin"),
+        F.lit(16).alias("end"),
+        F.lit("neuron").alias("covered_text"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    triples = mentions.select(
+        F.concat(F.lit("t:"), "conv_id").alias("subj"),
+        F.lit("p:denotes").alias("pred"),
+        F.lit("o:CL_0000540").alias("obj"),
+        "conv_id",
+        "turn_idx",
+        F.lit(None).cast("struct<begin:int,end:int,text:string>").alias("evidence"),
+    )
+    return mentions, triples
+
+
+def test_outstanding_anti_join(spark, tmp_path):
+    tdf = with_bucket(_transcripts(spark), n_buckets=8)
+    lineage = spark.createDataFrame(
+        [
+            (RUN_KEY, 0, COMPLETE, 10, 10, 10,
+             dt.datetime(2025, 1, 1), None, None),
+            (RUN_KEY, 1, ERROR, 0, 0, 0,
+             dt.datetime(2025, 1, 1), "boom", "detect"),
+        ],
+        "run_key string, partition_id int, status string, n_turns long,"
+        " n_mentions long, n_triples long, run_date timestamp, error string,"
+        " component_at_fault string",
+    )
+    todo = outstanding(tdf, lineage, RUN_KEY)
+    got_buckets = {r.partition_id for r in todo.select("partition_id").distinct().collect()}
+    assert 0 not in got_buckets          # COMPLETE excluded
+    assert 1 in got_buckets              # ERROR is retried
+    rm = runs_map(
+        tdf.select("partition_id").distinct(), lineage, RUN_KEY
+    )
+    statuses = {r.partition_id: r.status for r in rm.collect()}
+    assert statuses[0] == COMPLETE and statuses[1] == ERROR
+    assert statuses[2] == OUTSTANDING
+
+
+def test_resume_produces_identical_output(spark, tmp_path):
+    tdf = _transcripts(spark)
+    out_a = str(tmp_path / "triples_clean")
+    lin_a = str(tmp_path / "lineage_clean")
+    run_with_lineage(spark, tdf, _fake_pipeline, RUN_KEY, lin_a, out_a, n_buckets=8)
+    clean = spark.read.parquet(out_a)
+
+    # interrupted run: first process only half the conversations, then
+    # resume with the full input — only outstanding buckets recompute
+    out_b = str(tmp_path / "triples_resumed")
+    lin_b = str(tmp_path / "lineage_resumed")
+    half = tdf.filter(F.pmod(F.xxhash64("conv_id"), F.lit(8)) < 4)
+    run_with_lineage(spark, half, _fake_pipeline, RUN_KEY, lin_b, out_b, n_buckets=8)
+    n_after_half = spark.read.parquet(out_b).count()
+    assert 0 < n_after_half < clean.count()
+
+    lineage_rows = run_with_lineage(
+        spark, tdf, _fake_pipeline, RUN_KEY, lin_b, out_b, n_buckets=8
+    )
+    resumed = spark.read.parquet(out_b)
+    assert resumed.count() == clean.count()
+    assert (
+        resumed.exceptAll(clean).count() == 0
+        and clean.exceptAll(resumed).count() == 0
+    )
+    # lineage metrics recorded per bucket
+    row = lineage_rows.first()
+    assert row.n_turns > 0 and row.n_triples > 0
+
+    counts = status_counts(read_lineage(spark, lin_b)).first()
+    assert counts[COMPLETE] == 8
+
+
+def test_error_quarantine_records_error_bucket(spark, tmp_path):
+    tdf = _transcripts(spark, n=8)
+
+    def _err_pipeline(sub):
+        mentions, triples = _fake_pipeline(sub)
+        # poison one conversation's mentions with the quarantine sentinel
+        mentions = mentions.withColumn(
+            "concept_id",
+            F.when(F.col("conv_id") == "conv0000", F.lit("__ERROR__"))
+            .otherwise(F.col("concept_id")),
+        ).withColumn(
+            "error",
+            F.when(F.col("conv_id") == "conv0000", F.lit("ValueError: bad turn")),
+        )
+        return mentions, triples
+
+    lin = str(tmp_path / "lineage_err")
+    out = str(tmp_path / "triples_err")
+    rows = run_with_lineage(spark, tdf, _err_pipeline, RUN_KEY, lin, out, n_buckets=4)
+    by_status = {r.partition_id: r.status for r in rows.collect()}
+    assert ERROR in by_status.values() and COMPLETE in by_status.values()
+    err_row = [r for r in rows.collect() if r.status == ERROR][0]
+    assert "ValueError" in err_row.error and err_row.component_at_fault == "detect"

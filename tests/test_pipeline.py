@@ -1,0 +1,69 @@
+"""End-to-end: synthetic transcripts (FIXTURES.md F1) through the full
+pipeline; detected mentions must equal the planted golden set (F4), and the
+triple output must contain every family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import MINI_OBO
+from kgpipe.detect import build_dictionary_df, detect_mentions
+from kgpipe.pipeline import PipelineConfig, run_pipeline
+from kgpipe.synth import generate_transcripts
+from kgpipe.triples import PRED_COOCCURS, PRED_DENOTES, PRED_ROLE
+
+T_SCHEMA = ("conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp")
+
+
+def _tdf(spark, n=60):
+    rows, golden = generate_transcripts(n_convs=n, seed=42)
+    tdf = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+         for r in rows],
+        T_SCHEMA,
+    )
+    return tdf, golden
+
+
+def test_detection_matches_planted_golden(spark):
+    tdf, golden = _tdf(spark)
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO})
+    got = {
+        (m.conv_id, m.turn_idx, m.concept_id, m.begin, m.end)
+        for m in detect_mentions(tdf, ddf).collect()
+        if m.concept_id.startswith("CL:")
+    }
+    want = {
+        (g["conv_id"], g["turn_idx"], g["concept_id"], g["begin"], g["end"])
+        for g in golden
+    }
+    # planted mentions must all be found (recall 1.0 on CL terms); extra
+    # matches can only come from nested spans which CONTIGUOUS longest-match
+    # excludes by construction
+    missing = want - got
+    assert not missing, sorted(missing)[:5]
+    extras = got - want
+    assert len(extras) <= len(want) * 0.02, sorted(extras)[:5]
+
+
+def test_full_pipeline_writes_triples(spark, tmp_path):
+    tdf, _ = _tdf(spark, n=30)
+    cfg = PipelineConfig(obo_paths={"CL": MINI_OBO}, n_buckets=8)
+    out = str(tmp_path / "triples")
+    lin = str(tmp_path / "lineage")
+    lineage_rows = run_pipeline(spark, tdf, cfg, out, lin)
+    assert lineage_rows.filter("status = 'COMPLETE'").count() > 0
+
+    triples = spark.read.parquet(out)
+    preds = {r.pred for r in triples.select("pred").distinct().collect()}
+    assert PRED_DENOTES in preds and PRED_ROLE in preds
+    # canonicalization: the shared-synonym pair from mini.obo never surfaces
+    # as SYN:0000002 in triples (merged into SYN:0000001) — only CL terms
+    # are planted so just assert denotes objects are OBO PURLs
+    denotes = triples.filter(F.col("pred") == PRED_DENOTES)
+    assert denotes.filter(~F.col("obj").startswith("http://purl.obolibrary.org/obo/")).count() == 0
+    # resume: second invocation over same input is a no-op (all COMPLETE)
+    before = triples.count()
+    run_pipeline(spark, tdf, cfg, out, lin)
+    assert spark.read.parquet(out).count() == before

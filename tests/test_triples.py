@@ -1,0 +1,109 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgpipe.triples import (
+    IAO_DOCUMENT,
+    PRED_COOCCURS,
+    PRED_DENOTES,
+    PRED_ROLE,
+    PRED_TOOL,
+    RDF_TYPE,
+    all_triples,
+    cooccurrence_triples,
+    mention_triples,
+    to_ntriples_lines,
+)
+
+T_SCHEMA = ("conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp")
+M_SCHEMA = ("conv_id string, turn_idx int, ontology string, concept_id string,"
+            " begin int, end int, covered_text string, error string")
+
+
+def _frames(spark):
+    transcripts = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "the neuron fires", None, None),
+            ("c1", 1, "tool", "lookup", "search", None),
+        ],
+        T_SCHEMA,
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("c1", 0, "CL", "CL:0000540", 4, 10, "neuron", None),
+            ("c1", 1, "CL", "CL:0000000", 0, 6, "lookup", None),
+        ],
+        M_SCHEMA,
+    )
+    return transcripts, mentions
+
+
+def test_mention_triples_uris(spark):
+    _, mentions = _frames(spark)
+    rows = mention_triples(mentions).collect()
+    r = [x for x in rows if x.turn_idx == 0][0]
+    assert r.subj == "https://kg.example.org/conv/c1#t0"
+    assert r.pred == PRED_DENOTES
+    assert r.obj == "http://purl.obolibrary.org/obo/CL_0000540"
+    assert r.evidence.begin == 4 and r.evidence.text == "neuron"
+
+
+def test_iri_passthrough(spark):
+    mentions = spark.createDataFrame(
+        [("c1", 0, "X", "http://example.com/x", 0, 1, "x", None)], M_SCHEMA
+    )
+    assert mention_triples(mentions).first().obj == "http://example.com/x"
+
+
+def test_cooccurrence_window_and_dedupe(spark):
+    mentions = spark.createDataFrame(
+        [
+            ("c1", 0, "CL", "CL:A", 0, 1, "a", None),
+            ("c1", 2, "CL", "CL:B", 0, 1, "b", None),
+            ("c1", 9, "CL", "CL:C", 0, 1, "c", None),  # outside window of t0
+        ],
+        M_SCHEMA,
+    )
+    rows = cooccurrence_triples(mentions, window=3).collect()
+    pairs = {(r.subj, r.obj) for r in rows}
+    assert pairs == {
+        (
+            "http://purl.obolibrary.org/obo/CL_A",
+            "http://purl.obolibrary.org/obo/CL_B",
+        )
+    }
+    assert all(r.pred == PRED_COOCCURS for r in rows)
+
+
+def test_all_triples_families(spark):
+    transcripts, mentions = _frames(spark)
+    t = all_triples(transcripts, mentions).cache()
+    preds = {r.pred for r in t.select("pred").distinct().collect()}
+    assert {RDF_TYPE, PRED_DENOTES, PRED_ROLE, PRED_TOOL, PRED_COOCCURS} <= preds
+    conv_type = t.filter(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == IAO_DOCUMENT)
+    )
+    assert conv_type.count() == 1  # one conversation node
+
+
+def test_ntriples_rendering(spark):
+    _, mentions = _frames(spark)
+    lines = [r.value for r in to_ntriples_lines(mention_triples(mentions)).collect()]
+    assert any(
+        line
+        == "<https://kg.example.org/conv/c1#t0> <http://purl.org/kgpipe/denotes>"
+        " <http://purl.obolibrary.org/obo/CL_0000540> ."
+        for line in lines
+    )
+    # literal objects get quoted
+    transcripts, _ = _frames(spark)
+    from kgpipe.triples import conversation_triples
+
+    role_lines = [
+        r.value
+        for r in to_ntriples_lines(
+            conversation_triples(transcripts).filter(F.col("pred") == PRED_ROLE)
+        ).collect()
+    ]
+    assert any('"user"' in line for line in role_lines)
