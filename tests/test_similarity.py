@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+import math
+
+from kgpipe.similarity import cosine_topk, lsh_topk, pairwise_cosine_dedup
+
+
+def _vectors(spark, n=50, dim=8):
+    rows = []
+    for i in range(n):
+        v = [math.sin(0.7 * i + j) for j in range(dim)]
+        rows.append((i, v))
+    # plant a near-duplicate of vector 0
+    rows.append((999, [x * 1.001 for x in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark):
+    vecs = _vectors(spark)
+    queries = vecs.filter("vec_id = 0").selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    top = cosine_topk(vecs, queries, k=3).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+    assert {r.vec_id for r in top} >= {0, 999}  # the planted near-dup ranks
+
+
+def test_lsh_topk_recall_of_top1(spark):
+    vecs = _vectors(spark)
+    queries = vecs.filter("vec_id = 0").selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    approx = lsh_topk(vecs, queries, dim=8, k=3, n_planes=6, n_tables=4).collect()
+    assert approx, "LSH returned no candidates"
+    assert approx[0].vec_id == 0  # the query itself always shares buckets
+
+
+def test_pairwise_cosine_dedup(spark):
+    vecs = _vectors(spark)
+    pairs = {(r.vec_a, r.vec_b) for r in
+             pairwise_cosine_dedup(vecs, dim=8, threshold=0.999).collect()}
+    assert (0, 999) in pairs
