@@ -1,38 +1,741 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship KG-construction pipeline on
+sf0.001.  ``queries()`` exposes one entry per implemented operator family
+from SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL for everything SQL-expressible.
+
+The KG queries derive a transcripts view from the ``documents`` table
+(conv_id = source, turn_idx = doc_id // 20 — deterministic, identical in
+both engines) and run the REAL operators (trie detector via mapInPandas,
+evaluation joins, lineage anti-join, dedup/similarity column ops); the
+oracle re-derives the same results in pure SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgpipe.normalize import MatchConfig  # noqa: E402
+from kgpipe import schemas  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared inputs
+# ---------------------------------------------------------------------------
+
+# inline tech dictionary for oracle-checkable mention detection:
+# CASE_SENSITIVE / no stemming / no stopwords so normalization is identity
+TECH_CFG = MatchConfig(
+    search_strategy="CONTIGUOUS_MATCH", case_match="CASE_SENSITIVE",
+    stemmer="NONE", stopwords="NONE", order_independent=False,
+    find_all_matches=False, synonym_type="ALL",
+)
+TECH_SINGLES = [
+    ("spark", "T:0001"), ("window", "T:0002"), ("vector", "T:0003"),
+    ("customer", "T:0005"),
+]
+TECH_BIGRAM = ("fast table", "T:0004")
+TECH_CANON = {  # canonical labels differ from variants (Mayla rule)
+    "T:0001": "Spark Engine", "T:0002": "Window Operator",
+    "T:0003": "Vector Value", "T:0004": "Fast Table", "T:0005": "Customer Entity",
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    return d.select(
+        F.col("source").alias("conv_id"),
+        F.floor(F.col("doc_id") / 20).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _tech_dictionary(spark: SparkSession) -> DataFrame:
+    rows = [
+        ("TECH", cid, TECH_CANON[cid], v, True, v)
+        for v, cid in TECH_SINGLES + [TECH_BIGRAM]
+    ]
+    return spark.createDataFrame(rows, schema=schemas.DICTIONARY)
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgpipe.detect import detect_mentions
+
+    t = _transcripts(spark, sf_dir)
+    d = _tech_dictionary(spark)
+    m = detect_mentions(t, d, configs={"TECH": TECH_CFG})
+    return m.select("conv_id", "turn_idx", "concept_id", "begin", "end",
+                    "covered_text")
+
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL building blocks
+# ---------------------------------------------------------------------------
+
+_SQL_TRANSCRIPTS = """
+transcripts AS (
+  SELECT source AS conv_id, (doc_id // 20)::int AS turn_idx, text,
+         CASE (doc_id % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role
+  FROM documents
+)"""
+
+_SQL_MENTIONS = _SQL_TRANSCRIPTS + """,
+toks AS (
+  SELECT conv_id, turn_idx, text,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM transcripts
+),
+offs AS (
+  SELECT conv_id, turn_idx, tok, pos,
+         coalesce(sum(length(tok)+1) OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0)::int AS begin
+  FROM toks
+),
+singles(variant, cid) AS (VALUES
+  ('spark','T:0001'), ('window','T:0002'), ('vector','T:0003'),
+  ('customer','T:0005')),
+m1 AS (
+  SELECT o.conv_id, o.turn_idx, s.cid AS concept_id, o.begin,
+         (o.begin + length(o.tok))::int AS "end", o.tok AS covered_text
+  FROM offs o JOIN singles s ON o.tok = s.variant
+),
+m2 AS (
+  SELECT a.conv_id, a.turn_idx, 'T:0004' AS concept_id, a.begin,
+         (b.begin + length(b.tok))::int AS "end",
+         a.tok || ' ' || b.tok AS covered_text
+  FROM offs a JOIN offs b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND b.pos = a.pos + 1
+  WHERE a.tok = 'fast' AND b.tok = 'table'
+),
+mentions AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)"""
+
+_SQL_DOUBLED = """
+doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+)"""
+
+_STOPW = "'the','a','an','and','or','of','to','in','is','are','was','for','with','that','this','on','as','at','by'"
+_LANG_SQL_MARKERS = {
+    "en": "'the','and','of','to','is','that','with'",
+    "es": "'el','la','los','las','que','de','y'",
+    "fr": "'le','la','les','des','et','que','une'",
+    "de": "'der','die','das','und','nicht','ein','mit'",
+    "zh": "'的','是','了','在','我','有','和'",
+}
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_terms = []
+    for j in range(bits):
+        contrib = (
+            "list_sum(list_transform(td, t -> CASE WHEN substr(md5(t), "
+            f"{j + 1}, 1) IN ('0','1','2','3','4','5','6','7') "
+            "THEN -1 ELSE 1 END))"
+        )
+        bit_terms.append(f"(CASE WHEN {contrib} > 0 THEN {1 << j} ELSE 0 END)")
+    total = " + ".join(bit_terms)
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents
+)
+SELECT doc_id, ({total})::bigint AS simhash FROM t
+"""
+
+
+def _minhash_sql(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    sig_elems = ", ".join(
+        f"list_min(list_transform(td, t -> md5('{i}|' || t)))" for i in range(k)
+    )
+    rpb = k // bands
+    band_selects = []
+    for b in range(bands):
+        val = " || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, td, {b} AS band_idx, {val} AS band_val FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SQL_DOUBLED.lstrip()},
+sub AS (SELECT doc_id, text FROM doubled WHERE (doc_id % 100000) < 100),
+t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM sub),
+sig AS (SELECT doc_id, td, [{sig_elems}] AS sig FROM t),
+banded AS ({banded}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.td) AS ta, any_value(b.td) AS tb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(ta, tb))::double
+         / len(list_distinct(list_concat(ta, tb)))::double AS jaccard
+FROM cand
+WHERE len(list_intersect(ta, tb))::double
+        / len(list_distinct(list_concat(ta, tb)))::double >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (detect → triples) on sf0.001."""
+    from kgpipe.detect import detect_mentions
+    from kgpipe.triples import all_triples
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = _transcripts(spark, sf_dir)
+    d = _tech_dictionary(spark)
+    m = detect_mentions(t, d, configs={"TECH": TECH_CFG})
+    return all_triples(t, m, cooc_window=3).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgpipe.detect import detect_mentions
+    from kgpipe.disambig import mayla_filter, tfidf_scores
+    from kgpipe.evaluate import compare, summary
+    from kgpipe.lineage import COMPLETE, outstanding, runs_map
+    from kgpipe.canon import connected_components
+    from kgpipe.similarity import cosine_topk
+    from kgpipe.textops import (
+        exact_duplicates, fingerprint, langid_scores, minhash_lsh_pairs,
+        ngram_jaccard_pairs, simhash_col, token_count, tokens_col,
+    )
+    from kgpipe.triples import all_triples
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- KG pipeline family -------------------------------------------
+    def q_mention_detect(spark, sf_dir):
+        return _mentions(spark, sf_dir)
+
+    def q_mention_count_per_turn(spark, sf_dir):
+        return (
+            _mentions(spark, sf_dir)
+            .groupBy("conv_id", "turn_idx")
+            .agg(F.count(F.lit(1)).alias("n_mentions"))
+        )
+
+    def q_cooccurrence(spark, sf_dir):
+        m = _mentions(spark, sf_dir)
+        a = m.select("conv_id", F.col("turn_idx").alias("ta"),
+                     F.col("concept_id").alias("ca"))
+        b = m.select("conv_id", F.col("turn_idx").alias("tb"),
+                     F.col("concept_id").alias("cb"))
+        return (
+            a.join(b, "conv_id")
+            .filter((F.abs(F.col("ta") - F.col("tb")) <= 3)
+                    & (F.col("ca") < F.col("cb")))
+            .groupBy("conv_id", "ca", "cb")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def q_resume_outstanding(spark, sf_dir):
+        import datetime as dt
+
+        d = _docs(spark, sf_dir).withColumn(
+            "partition_id", (F.col("doc_id") % 16).cast("int")
+        )
+        lineage = spark.createDataFrame(
+            [("RK", p, COMPLETE, 0, 0, 0,
+              dt.datetime(2025, 1, 1), None, None) for p in range(8)],
+            schema=schemas.LINEAGE,
+        )
+        return outstanding(d, lineage, "RK").select("doc_id", "partition_id")
+
+    def q_runs_map(spark, sf_dir):
+        import datetime as dt
+
+        d = _docs(spark, sf_dir).withColumn(
+            "partition_id", (F.col("doc_id") % 16).cast("int")
+        )
+        rows = [("RK", p, COMPLETE, 0, 0, 0, dt.datetime(2025, 1, 1), None, None)
+                for p in range(8)]
+        rows.append(("RK", 8, "ERROR", 0, 0, 0, dt.datetime(2025, 1, 2),
+                     "boom", "detect"))
+        lineage = spark.createDataFrame(rows, schema=schemas.LINEAGE)
+        return runs_map(d.select("partition_id").distinct(), lineage, "RK")
+
+    def _gold_eval(spark, sf_dir):
+        m = _mentions(spark, sf_dir)
+        gold = m.filter(F.col("concept_id").isin("T:0001", "T:0002"))
+        ev = m.filter(F.col("concept_id").isin("T:0001", "T:0003"))
+        return gold, ev
+
+    def q_eval_strict(spark, sf_dir):
+        gold, ev = _gold_eval(spark, sf_dir)
+        return compare(gold, ev, span="STRICT")
+
+    def q_eval_summary(spark, sf_dir):
+        gold, ev = _gold_eval(spark, sf_dir)
+        return summary(compare(gold, ev, span="STRICT")).select("tp", "fp", "fn")
+
+    def q_mayla_freq(spark, sf_dir):
+        m = _mentions(spark, sf_dir).withColumn(
+            "ontology", F.lit("TECH")
+        ).withColumn("error", F.lit(None).cast("string"))
+        kept = mayla_filter(
+            m, _transcripts(spark, sf_dir), _tech_dictionary(spark),
+            concept_freq=2,
+        )
+        return kept.select("conv_id", "turn_idx", "concept_id", "begin",
+                           "end", "covered_text")
+
+    def q_tfidf_support(spark, sf_dir):
+        return tfidf_scores(_mentions(spark, sf_dir), exact=True).select(
+            "conv_id", "concept_id", "tf", "df"
+        )
+
+    def q_connected_components(spark, sf_dir):
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        edges = part.select(
+            F.concat(F.lit("N"), F.col("p_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("N"), (F.col("p_partkey") % 37).cast("string")).alias("dst"),
+        )
+        return connected_components(edges)
+
+    # ---- training-data operators ---------------------------------------
+    def _doubled(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        return d.unionByName(
+            d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+
+    def q_dedup_exact(spark, sf_dir):
+        return exact_duplicates(_doubled(spark, sf_dir))
+
+    def q_minhash_pairs(spark, sf_dir):
+        sub = _doubled(spark, sf_dir).filter((F.col("doc_id") % 100000) < 100)
+        return minhash_lsh_pairs(sub, k=8, bands=4, jaccard_threshold=0.5)
+
+    def q_ngram_jaccard(spark, sf_dir):
+        sub = _doubled(spark, sf_dir).filter((F.col("doc_id") % 100000) < 100)
+        return ngram_jaccard_pairs(sub, n=3, threshold=0.5, key_prefix_len=1)
+
+    def q_simhash(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", simhash_col().alias("simhash")
+        )
+
+    def q_token_count(spark, sf_dir):
+        return token_count(_docs(spark, sf_dir))
+
+    def q_quality(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        toks = tokens_col("text")
+        n_tok = F.size(toks)
+        total_wl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        n_stop = F.size(F.filter(
+            toks,
+            lambda t: F.lower(t).isin(
+                "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+                "was", "for", "with", "that", "this", "on", "as", "at", "by",
+            ),
+        ))
+        n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+        out = d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            total_wl.alias("total_word_len"),
+            n_stop.alias("n_stop"),
+            n_alpha.alias("n_alpha"),
+            F.length("text").alias("n_chars_m"),
+        )
+        keep = (
+            (F.col("n_tokens") >= 5)
+            & (F.col("total_word_len") >= 2 * F.col("n_tokens"))
+            & (F.col("total_word_len") <= 12 * F.col("n_tokens"))
+            & (2 * F.col("n_alpha") >= F.col("n_chars_m"))
+        )
+        return out.withColumn("keep", keep)
+
+    def q_langid(spark, sf_dir):
+        return langid_scores(_docs(spark, sf_dir))
+
+    def q_fingerprint(spark, sf_dir):
+        return fingerprint(_docs(spark, sf_dir), w=4)
+
+    def q_cosine_topk(spark, sf_dir):
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries_df = e.filter(F.col("vec_id") < 5).selectExpr(
+            "vec_id as q_id", "embedding as q_vec"
+        )
+        return cosine_topk(e, queries_df, k=5).select("q_id", "vec_id", "rank")
+
+    # ---- relational operator coverage (joins/aggs/windows/sort/limit) --
+    def q_revenue_by_segment(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    def q_lineitem_pricing(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double").alias("sum_base_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    def q_topk_orders_per_segment(spark, sf_dir):
+        from pyspark.sql import Window
+
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 2)
+            .select("c_mktsegment", "o_orderkey", "o_totalprice", "rank")
+        )
+
+    def q_top10_orders(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return (
+            o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", "o_totalprice")
+        )
+
+    def q_events_by_type(spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return e.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("total_value"),
+        )
+
+    # ---- non-SQL-expressible (rows-only checks) -------------------------
+    def q_kg_triples(spark, sf_dir):
+        from kgpipe.detect import detect_mentions
+
+        t = _transcripts(spark, sf_dir)
+        m = detect_mentions(t, _tech_dictionary(spark), configs={"TECH": TECH_CFG})
+        return all_triples(t, m, cooc_window=3).select(
+            "subj", "pred", "obj", "conv_id", "turn_idx"
+        )
+
+    def q_lsh_topk(spark, sf_dir):
+        from kgpipe.similarity import lsh_topk
+
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries_df = e.filter(F.col("vec_id") < 5).selectExpr(
+            "vec_id as q_id", "embedding as q_vec"
+        )
+        return lsh_topk(e, queries_df, dim=64, k=5, n_planes=8, n_tables=4)
+
+    def q_media_features(spark, sf_dir):
+        from kgpipe.multimodal import extract_features
+
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.lit("image").alias("modality"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+        )
+        return extract_features(media, fake=True)
+
+    return {
+        "mention_detect": q_mention_detect,
+        "mention_count_per_turn": q_mention_count_per_turn,
+        "cooccurrence": q_cooccurrence,
+        "resume_outstanding": q_resume_outstanding,
+        "runs_map": q_runs_map,
+        "eval_strict": q_eval_strict,
+        "eval_summary": q_eval_summary,
+        "mayla_freq": q_mayla_freq,
+        "tfidf_support": q_tfidf_support,
+        "connected_components": q_connected_components,
+        "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "revenue_by_segment": q_revenue_by_segment,
+        "lineitem_pricing": q_lineitem_pricing,
+        "topk_orders_per_segment": q_topk_orders_per_segment,
+        "top10_orders": q_top10_orders,
+        "events_by_type": q_events_by_type,
+        "kg_triples": q_kg_triples,
+        "lsh_topk": q_lsh_topk,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = ", ".join(
+        f"len(list_filter(w, t -> lower(t) IN ({m}))) AS score_{lang}"
+        for lang, m in _LANG_SQL_MARKERS.items()
+    )
+    lang_best = "greatest(" + ", ".join(
+        f"score_{l}" for l in _LANG_SQL_MARKERS
+    ) + ")"
+    lang_pred = "CASE " + " ".join(
+        f"WHEN score_{l} = best AND best > 0 THEN '{l}'"
+        for l in _LANG_SQL_MARKERS
+    ) + " ELSE 'und' END"
+
+    return {
+        "mention_detect": f"WITH {_SQL_MENTIONS.lstrip()} SELECT * FROM mentions",
+        "mention_count_per_turn": f"""
+WITH {_SQL_MENTIONS.lstrip()}
+SELECT conv_id, turn_idx, count(*) AS n_mentions
+FROM mentions GROUP BY conv_id, turn_idx""",
+        "cooccurrence": f"""
+WITH {_SQL_MENTIONS.lstrip()}
+SELECT a.conv_id, a.concept_id AS ca, b.concept_id AS cb, count(*) AS n
+FROM mentions a JOIN mentions b
+  ON a.conv_id = b.conv_id
+ AND abs(a.turn_idx - b.turn_idx) <= 3
+ AND a.concept_id < b.concept_id
+GROUP BY a.conv_id, a.concept_id, b.concept_id""",
+        "resume_outstanding": """
+SELECT doc_id, (doc_id % 16)::int AS partition_id
+FROM documents WHERE (doc_id % 16) >= 8""",
+        "runs_map": """
+SELECT DISTINCT (doc_id % 16)::int AS partition_id,
+  CASE WHEN (doc_id % 16) < 8 THEN 'COMPLETE'
+       WHEN (doc_id % 16) = 8 THEN 'ERROR'
+       ELSE 'OUTSTANDING' END AS status
+FROM documents""",
+        "eval_strict": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+gold AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0002')),
+ev   AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0003')),
+tp AS (SELECT g.conv_id, g.turn_idx, 'TP' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND e.begin=g.begin AND e."end"=g."end")),
+fn AS (SELECT g.conv_id, g.turn_idx, 'FN' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND e.begin=g.begin AND e."end"=g."end")),
+fp AS (SELECT e.conv_id, e.turn_idx, 'FP' AS outcome, e.concept_id, e.begin, e."end"
+       FROM ev e WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id=e.conv_id
+         AND g.turn_idx=e.turn_idx AND g.concept_id=e.concept_id
+         AND g.begin=e.begin AND g."end"=e."end"))
+SELECT * FROM tp UNION ALL SELECT * FROM fn UNION ALL SELECT * FROM fp""",
+        "eval_summary": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+gold AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0002')),
+ev   AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0003'))
+SELECT
+  (SELECT count(*) FROM gold g WHERE EXISTS (SELECT 1 FROM ev e
+     WHERE e.conv_id=g.conv_id AND e.turn_idx=g.turn_idx
+       AND e.concept_id=g.concept_id AND e.begin=g.begin AND e."end"=g."end"))
+   AS tp,
+  (SELECT count(*) FROM ev e WHERE NOT EXISTS (SELECT 1 FROM gold g
+     WHERE g.conv_id=e.conv_id AND g.turn_idx=e.turn_idx
+       AND g.concept_id=e.concept_id AND g.begin=e.begin AND g."end"=e."end"))
+   AS fp,
+  (SELECT count(*) FROM gold g WHERE NOT EXISTS (SELECT 1 FROM ev e
+     WHERE e.conv_id=g.conv_id AND e.turn_idx=g.turn_idx
+       AND e.concept_id=g.concept_id AND e.begin=g.begin AND e."end"=g."end"))
+   AS fn""",
+        "mayla_freq": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+canon(cid, label) AS (VALUES
+  ('T:0001','Spark Engine'), ('T:0002','Window Operator'),
+  ('T:0003','Vector Value'), ('T:0004','Fast Table'),
+  ('T:0005','Customer Entity')),
+joined AS (
+  SELECT m.*, t.text, c.label
+  FROM mentions m
+  JOIN transcripts t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+  LEFT JOIN canon c ON m.concept_id = c.cid
+)
+SELECT conv_id, turn_idx, concept_id, begin, "end", covered_text
+FROM joined
+WHERE ((length(text) - length(replace(text, covered_text, '')))
+        / length(covered_text))::int >= 2
+   OR covered_text = label""",
+        "tfidf_support": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+tf AS (SELECT conv_id, concept_id, count(*) AS tf
+       FROM mentions GROUP BY conv_id, concept_id),
+idf AS (SELECT concept_id, count(DISTINCT conv_id) AS df
+        FROM mentions GROUP BY concept_id)
+SELECT tf.conv_id, tf.concept_id, tf.tf, idf.df
+FROM tf JOIN idf ON tf.concept_id = idf.concept_id""",
+        "connected_components": """
+WITH RECURSIVE e AS (
+  SELECT 'N' || p_partkey::varchar AS src,
+         'N' || (p_partkey % 37)::varchar AS dst
+  FROM part
+),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+reach(n, m) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.n, s.dst FROM reach r JOIN sym s ON r.m = s.src
+)
+SELECT n AS node, min(m) AS component FROM reach GROUP BY n""",
+        "dedup_exact": f"""
+WITH {_SQL_DOUBLED.lstrip()}
+SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM doubled GROUP BY md5(text) HAVING count(*) > 1""",
+        "minhash_pairs": _minhash_sql(),
+        "ngram_jaccard": f"""
+WITH {_SQL_DOUBLED.lstrip()},
+sub AS (SELECT doc_id, text FROM doubled WHERE (doc_id % 100000) < 100),
+t AS (SELECT doc_id, substr(md5(doc_id::varchar), 1, 1) AS blk,
+             string_split(text, ' ') AS w FROM sub),
+gs AS (SELECT doc_id, blk,
+              list_distinct(list_transform(generate_series(1, len(w) - 2),
+                i -> array_to_string(w[i:i+2], ' '))) AS grams
+       FROM t)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.grams, b.grams))::double
+         / len(list_distinct(list_concat(a.grams, b.grams)))::double AS jaccard
+FROM gs a JOIN gs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::double
+        / len(list_distinct(list_concat(a.grams, b.grams)))::double >= 0.5""",
+        "simhash": _simhash_sql(),
+        "token_count": r"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> ''))::int AS n_tokens,
+       len(regexp_extract_all(text, '([A-Za-z0-9]+|[^A-Za-z0-9\s])', 1))::int
+         AS n_subwords,
+       length(text)::int AS n_chars
+FROM documents""",
+        "quality": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+  len(w)::int AS n_tokens,
+  coalesce(list_sum(list_transform(w, x -> length(x))), 0)::int AS total_word_len,
+  len(list_filter(w, x -> lower(x) IN ({_STOPW})))::int AS n_stop,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::int AS n_alpha,
+  length(text)::int AS n_chars_m,
+  (len(w) >= 5
+   AND coalesce(list_sum(list_transform(w, x -> length(x))), 0) >= 2 * len(w)
+   AND coalesce(list_sum(list_transform(w, x -> length(x))), 0) <= 12 * len(w)
+   AND 2 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) >= length(text))
+   AS keep
+FROM t""",
+        "langid": f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+s AS (SELECT doc_id, {lang_scores} FROM t),
+b AS (SELECT *, {lang_best} AS best FROM s)
+SELECT doc_id, score_en, score_es, score_fr, score_de, score_zh,
+       {lang_pred} AS lang_pred
+FROM b""",
+        "fingerprint": """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, md5(text) AS doc_md5,
+       list_min(list_transform(generate_series(1, len(w) - 3),
+         i -> md5(array_to_string(w[i:i+3], ' ')))) AS min_shingle
+FROM t""",
+        "cosine_topk": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+         list_dot_product(q.qv, v.e)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(v.e, v.e))) AS cos
+  FROM v CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, rank::int AS rank FROM ranked WHERE rank <= 5""",
+        "revenue_by_segment": """
+SELECT c.c_mktsegment,
+       (sum(o.o_totalprice::DECIMAL(18,2)))::double AS revenue,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       (sum(l_quantity::DECIMAL(18,2)))::double AS sum_qty,
+       (sum(l_extendedprice::DECIMAL(18,2)))::double AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "topk_orders_per_segment": """
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM j
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank::int AS rank
+FROM r WHERE rank <= 2""",
+        "top10_orders": """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+        "events_by_type": """
+SELECT event_type, count(*) AS n,
+       (sum(value::DECIMAL(18,2)))::double AS total_value
+FROM events GROUP BY event_type""",
+        # kg_triples / lsh_topk / media_features: non-SQL-expressible
+        # (trie UDF over text, LSH hyperplane literals, binary feature UDF)
+        # → rows-only checks.
+    }

@@ -79,17 +79,19 @@ MAYLA_CONCEPT_FREQ: dict[str, int] = {
 }
 
 
-def tfidf_scores(mentions: DataFrame) -> DataFrame:
+def tfidf_scores(mentions: DataFrame, exact: bool = False) -> DataFrame:
     """TF-IDF of each concept per conversation: TF = mentions of the concept
     in the conversation; DF = number of conversations mentioning it.
-    ``approx_count_distinct`` keeps the DF aggregation one-pass at scale."""
+    ``approx_count_distinct`` keeps the DF aggregation one-pass at scale;
+    ``exact=True`` switches to countDistinct (for oracle comparisons)."""
     n_convs = mentions.select("conv_id").distinct().count()
     tf = mentions.groupBy("conv_id", "concept_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df = mentions.groupBy("concept_id").agg(
-        F.approx_count_distinct("conv_id").alias("df")
+    df_agg = (
+        F.countDistinct("conv_id") if exact else F.approx_count_distinct("conv_id")
     )
+    df = mentions.groupBy("concept_id").agg(df_agg.alias("df"))
     return (
         tf.join(df, "concept_id")
         .withColumn(

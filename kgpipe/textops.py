@@ -161,10 +161,13 @@ def minhash_lsh_pairs(
 def ngram_set_col(text: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined)."""
     toks = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(
