@@ -85,8 +85,10 @@ def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _transcripts(spark, sf_dir)
     d = _tech_dictionary(spark)
     m = detect_mentions(t, d, configs={"TECH": TECH_CFG})
+    # persist: several queries self-join or double-read the mention set;
+    # identical plans share one InMemoryRelation across the whole session
     return m.select("conv_id", "turn_idx", "concept_id", "begin", "end",
-                    "covered_text")
+                    "covered_text").persist()
 
 
 # ---------------------------------------------------------------------------

@@ -88,19 +88,64 @@ def synonym_edges(dictionary: DataFrame) -> DataFrame:
     return grouped
 
 
+def _dsu_components(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side disjoint-set union with path compression; returns
+    node → min-id component representative."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id becomes the root so the representative is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def canonicalize(
     mentions: DataFrame,
     dictionary: DataFrame,
     extra_edges: DataFrame | None = None,
+    driver_side: bool = True,
 ) -> DataFrame:
     """Attach ``canonical_id`` to mentions: the component representative of
     the mention's concept under shared-synonym (+ optional ontology) edges.
-    The component map is ontology-sized — broadcast join against the
-    corpus-sized mention table."""
+
+    The synonym graph is ontology-sized (10^4–10^6 nodes — tiny next to the
+    10^12-turn corpus), so by default the union-find runs **driver-side**
+    (one collect of the pre-aggregated edge list, microseconds of CPU) and
+    ships back as a broadcast map — zero extra Spark jobs on the corpus
+    path.  ``driver_side=False`` switches to the distributed min-label
+    propagation (``connected_components``) for graphs that genuinely exceed
+    driver memory."""
     edges = synonym_edges(dictionary)
     if extra_edges is not None:
         edges = edges.unionByName(extra_edges.select("src", "dst"))
-    comp = connected_components(edges).withColumnRenamed("node", "concept_id")
+    if driver_side:
+        comp_map = _dsu_components(
+            [(r["src"], r["dst"]) for r in edges.collect()]
+        )
+        spark = mentions.sparkSession
+        if comp_map:
+            comp = spark.createDataFrame(
+                list(comp_map.items()), "concept_id string, component string"
+            )
+        else:
+            comp = spark.createDataFrame(
+                [], "concept_id string, component string"
+            )
+    else:
+        comp = connected_components(edges).withColumnRenamed(
+            "node", "concept_id"
+        )
     return (
         mentions.join(F.broadcast(comp), "concept_id", "left")
         .withColumn("canonical_id", F.coalesce("component", "concept_id"))

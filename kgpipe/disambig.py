@@ -83,21 +83,26 @@ def tfidf_scores(mentions: DataFrame, exact: bool = False) -> DataFrame:
     """TF-IDF of each concept per conversation: TF = mentions of the concept
     in the conversation; DF = number of conversations mentioning it.
     ``approx_count_distinct`` keeps the DF aggregation one-pass at scale;
-    ``exact=True`` switches to countDistinct (for oracle comparisons)."""
-    n_convs = mentions.select("conv_id").distinct().count()
+    ``exact=True`` switches to countDistinct (for oracle comparisons).
+
+    Fully lazy: the corpus size N enters as a broadcast 1-row join rather
+    than a driver-side ``count()`` action, so calling this never triggers a
+    premature (and possibly duplicated) execution of the upstream plan."""
+    cd = F.countDistinct("conv_id") if exact else F.approx_count_distinct("conv_id")
+    n_convs_df = mentions.agg(cd.alias("n_convs"))
     tf = mentions.groupBy("conv_id", "concept_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df_agg = (
-        F.countDistinct("conv_id") if exact else F.approx_count_distinct("conv_id")
-    )
-    df = mentions.groupBy("concept_id").agg(df_agg.alias("df"))
+    df = mentions.groupBy("concept_id").agg(cd.alias("df"))
     return (
         tf.join(df, "concept_id")
+        .join(F.broadcast(n_convs_df))
         .withColumn(
             "tfidf",
-            F.col("tf") * F.log((F.lit(float(n_convs)) + 1.0) / (F.col("df") + 1.0)),
+            F.col("tf")
+            * F.log((F.col("n_convs").cast("double") + 1.0) / (F.col("df") + 1.0)),
         )
+        .drop("n_convs")
     )
 
 

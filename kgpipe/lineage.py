@@ -141,6 +141,9 @@ def run_with_lineage(
     (
         triples.drop("partition_id")
         .withColumn("bucket", bucket_col(n_buckets, "conv_id"))
+        # cluster by target partition: one task ≈ one bucket directory
+        # instead of tasks × buckets tiny files
+        .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")

@@ -93,7 +93,11 @@ def run_pipeline(
             output_path, cfg.n_buckets,
         )
     mentions, triples = _stage(transcripts)
-    write_triples(triples, output_path, cfg.n_buckets, mode="overwrite")
+    mentions.persist()  # triple fan-out reads mentions multiple times
+    try:
+        write_triples(triples, output_path, cfg.n_buckets, mode="overwrite")
+    finally:
+        mentions.unpersist()
     return triples
 
 

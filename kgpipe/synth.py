@@ -67,6 +67,8 @@ def generate_transcripts(
     n_convs: int = 100,
     seed: int = 42,
     terms: list[PlantedTerm] | None = None,
+    min_fill: int = 3,
+    max_fill: int = 12,
 ) -> tuple[list[dict], list[dict]]:
     """Return ``(transcript_rows, golden_mention_rows)``.
 
@@ -87,7 +89,7 @@ def generate_transcripts(
             # build turn text: filler words with 0-3 planted terms
             words: list[str] = []
             planted_here: list[tuple[int, PlantedTerm]] = []  # (word_pos, term)
-            n_fill = rng.randint(3, 12)
+            n_fill = rng.randint(min_fill, max_fill)
             n_plant = rng.randint(0, 3)
             plant_positions = sorted(rng.sample(range(n_fill + 1), min(n_plant, n_fill + 1)))
             fill_iter = [rng.choice(_FILLER) for _ in range(n_fill)]
