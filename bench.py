@@ -68,16 +68,20 @@ def _dictionary(spark):
 def kg_e2e(spark, tdf, dictionary, out_dir: str) -> int:
     """transcripts → detect → disambiguate → canonicalize → triples →
     partitioned parquet write. Returns triple count."""
-    from kgpipe.canon import canonicalize
-    from kgpipe.detect import detect_mentions
+    from kgpipe.canon import canonicalize_with_map, components_from_rows
+    from kgpipe.detect import collect_dictionary, detect_mentions
     from kgpipe.disambig import tfidf_disambiguate
     from kgpipe.triples import all_triples, write_triples
 
+    # one driver-side dictionary collect feeds the trie broadcast AND the
+    # union-find component map -- no per-stage dictionary jobs
+    rows = collect_dictionary(dictionary)
+    comp_map = components_from_rows(rows)
     # detection runs once, materialized: the disambiguation aggregations
     # (tf, df, N) and the triple fan-out all re-read it
-    raw = detect_mentions(tdf, dictionary).persist()
+    raw = detect_mentions(tdf, dictionary, local_rows=rows).persist()
     mentions = tfidf_disambiguate(raw)
-    mentions = canonicalize(mentions, dictionary)
+    mentions = canonicalize_with_map(mentions, comp_map)
     mentions = mentions.persist()
     try:
         triples = all_triples(tdf, mentions, concept_col="canonical_id",

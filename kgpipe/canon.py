@@ -110,6 +110,36 @@ def _dsu_components(edges: list[tuple[str, str]]) -> dict[str, str]:
     return {n: find(n) for n in parent}
 
 
+def components_from_rows(rows: list[dict]) -> dict[str, str]:
+    """Driver-side shared-synonym components straight from collected
+    dictionary rows (no Spark jobs): group concept ids by variant_norm,
+    star-edge each group to its min, DSU the edges."""
+    by_variant: dict[str, set[str]] = {}
+    for r in rows:
+        vn = r.get("variant_norm") or ""
+        if vn:
+            by_variant.setdefault(vn, set()).add(r["concept_id"])
+    edges: list[tuple[str, str]] = []
+    for ids in by_variant.values():
+        if len(ids) > 1:
+            lo = min(ids)
+            edges.extend((lo, other) for other in ids if other != lo)
+    return _dsu_components(edges)
+
+
+def canonicalize_with_map(mentions: DataFrame, comp_map: dict[str, str]) -> DataFrame:
+    """Attach canonical_id given a precomputed component map (broadcast)."""
+    spark = mentions.sparkSession
+    comp = spark.createDataFrame(
+        list(comp_map.items()) or [], "concept_id string, component string"
+    )
+    return (
+        mentions.join(F.broadcast(comp), "concept_id", "left")
+        .withColumn("canonical_id", F.coalesce("component", "concept_id"))
+        .drop("component")
+    )
+
+
 def canonicalize(
     mentions: DataFrame,
     dictionary: DataFrame,

@@ -63,11 +63,19 @@ def build_tries(
     return out
 
 
+def collect_dictionary(dictionary: DataFrame) -> list[dict]:
+    """Collect the (ontology-sized) dictionary once; reusable across the
+    trie build, canonicalization, and Mayla label maps without re-running
+    the dictionary job per stage."""
+    return [r.asDict() for r in dictionary.collect()]
+
+
 def detect_mentions(
     transcripts: DataFrame,
     dictionary: DataFrame,
     configs: Optional[dict[str, MatchConfig]] = None,
     drop_duplicates: bool = True,
+    local_rows: Optional[list[dict]] = None,
 ) -> DataFrame:
     """transcripts × dictionary → mentions.
 
@@ -76,7 +84,8 @@ def detect_mentions(
     neighbouring turns, so partitioning is free to split conversations).
     """
     spark = transcripts.sparkSession
-    local_rows = [r.asDict() for r in dictionary.collect()]
+    if local_rows is None:
+        local_rows = collect_dictionary(dictionary)
     tries = build_tries(local_rows, configs)
     bc = spark.sparkContext.broadcast(tries)
 

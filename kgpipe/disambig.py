@@ -106,6 +106,41 @@ def tfidf_scores(mentions: DataFrame, exact: bool = False) -> DataFrame:
     )
 
 
+def embedding_disambiguate(
+    mentions: DataFrame,
+    turn_embeddings: DataFrame,
+    concept_embeddings: DataFrame,
+) -> DataFrame:
+    """Embedding-scored entity linking (the north-star's second scorer):
+    for span-ambiguous mentions, keep the candidate whose concept embedding
+    is closest (cosine) to the turn's context embedding.
+
+    turn_embeddings: (conv_id, turn_idx, ctx_emb array<double>) — typically
+    produced upstream by an encoder over turn text.
+    concept_embeddings: (concept_id, con_emb array<double>) — ontology-sized,
+    broadcast.  Scoring is `zip_with`+`aggregate` column math (JVM-side);
+    the only corpus-scale shuffle is the join on (conv_id, turn_idx).
+    """
+    from .similarity import cosine_col
+
+    m = mentions.join(turn_embeddings, ["conv_id", "turn_idx"], "left").join(
+        F.broadcast(concept_embeddings), "concept_id", "left"
+    )
+    score = F.when(
+        F.col("ctx_emb").isNotNull() & F.col("con_emb").isNotNull(),
+        cosine_col(F.col("ctx_emb"), F.col("con_emb")),
+    ).otherwise(F.lit(-2.0))
+    m = m.withColumn("emb_score", score)
+    w = Window.partitionBy("conv_id", "turn_idx", "begin", "end").orderBy(
+        F.desc("emb_score"), F.asc("concept_id")
+    )
+    return (
+        m.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") == 1)
+        .drop("__rank", "ctx_emb", "con_emb", "emb_score")
+    )
+
+
 def tfidf_disambiguate(mentions: DataFrame) -> DataFrame:
     """Resolve span-ambiguous mentions (same (conv, turn, begin, end), several
     concept ids — shared synonyms): keep the candidate with the highest

@@ -1,0 +1,109 @@
+"""Scans / sources (SURVEY.md §2.1): text directories, transcript tables,
+catalog bulk-load with metadata attach.
+
+Spark-first renderings of the reference collection readers:
+
+- ``read_text_dir`` ≡ FileSystemCollectionReader (one CAS per ``.txt`` file,
+  ``EntityFinder.java:93-95``): ``spark.read.text(wholetext)`` +
+  ``input_file_name()`` — one row per file, doc id from the filename.
+- ``read_transcripts`` — the primary input table (parquet or catalog table),
+  schema-checked against the normative transcripts schema.
+- ``load_catalog`` ≡ CatalogLoader_PMC_OA (``CatalogLoader_PMC_OA.java:52-98``):
+  scan a bulk directory listing, join file names to a metadata TSV
+  (broadcast hash join on filename — the reference does a per-file map
+  lookup), derive the 2-level directory layout as partition columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schemas
+
+
+def read_text_dir(
+    spark: SparkSession,
+    path: str,
+    suffix: str = ".txt",
+    num: int | None = None,
+    skip: int = 0,
+) -> DataFrame:
+    """Directory of text files → one row per document
+    ``(doc_id, text, src_file)``; skip/limit semantics per
+    ``PipelineParams.java:21-22`` (deterministic by file name order)."""
+    df = (
+        spark.read.text(f"{path}/*{suffix}", wholetext=True)
+        .select(
+            F.input_file_name().alias("src_file"),
+            F.col("value").alias("text"),
+        )
+        .withColumn(
+            "doc_id",
+            F.regexp_replace(
+                F.element_at(F.split(F.col("src_file"), "/"), -1),
+                f"{suffix}$", "",
+            ),
+        )
+    )
+    if skip or num is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("src_file")
+        df = df.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") > skip
+        )
+        if num is not None:
+            df = df.filter(F.col("__rn") <= skip + num)
+        df = df.drop("__rn")
+    return df.select("doc_id", "text", "src_file")
+
+
+def text_dir_to_transcripts(docs: DataFrame) -> DataFrame:
+    """One document per conversation, one line per turn — the shape used by
+    the reference-parity tests (line breaks ≡ sentence boundaries,
+    ``CraftConceptMapperEvaluator.java:201-206``)."""
+    lines = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.posexplode(F.split("text", "\n")).alias("turn_idx", "text"),
+    ).filter(F.trim("text") != "")
+    return lines.select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Load the primary transcripts table and verify the normative schema
+    (conv_id, turn_idx, role, text, tool, ts — BASELINE.json input_hint)."""
+    df = (
+        spark.read.parquet(path_or_table)
+        if "/" in path_or_table
+        else spark.read.table(path_or_table)
+    )
+    want = {f.name for f in schemas.TRANSCRIPTS.fields}
+    have = set(df.columns)
+    missing = want - have
+    if missing:
+        raise ValueError(f"transcripts table missing columns: {sorted(missing)}")
+    return df.select(*[f.name for f in schemas.TRANSCRIPTS.fields])
+
+
+def load_catalog(
+    files: DataFrame,
+    metadata_tsv: DataFrame,
+    filename_col: str = "filename",
+) -> DataFrame:
+    """Attach per-file metadata (broadcast join on filename) and derive the
+    reference's 2-level directory layout as partition columns
+    (``CatalogLoader_PMC_OA.java:75-98``: files moved into
+    ``<hash0>/<hash1>/`` — here: stable hash prefix columns, which ARE the
+    partition layout when written with partitionBy)."""
+    joined = files.join(F.broadcast(metadata_tsv), filename_col, "left")
+    h = F.md5(F.col(filename_col))
+    return joined.withColumn("dir1", F.substring(h, 1, 2)).withColumn(
+        "dir2", F.substring(h, 3, 2)
+    )

@@ -1,0 +1,135 @@
+from __future__ import annotations
+
+import os
+
+from conftest import MINI_OBO
+from kgpipe.grid import compile_results, param_grid, param_string, run_grid
+from kgpipe.sources import (
+    load_catalog,
+    read_text_dir,
+    read_transcripts,
+    text_dir_to_transcripts,
+)
+
+
+def test_param_grid_size_and_strings():
+    grid = param_grid()
+    assert len(grid) == 576  # 3*4*3*2*2*2*2 — the reference's 577 ≈ grid + 1
+    s = param_string(grid[0])
+    assert "SearchStrategy:CONTIGUOUS_MATCH" in s
+    assert "SynonymType:EXACT_ONLY" in s
+    assert len({param_string(c) for c in grid}) == 576  # all distinct
+
+
+def test_run_grid_small(spark):
+    rows = [
+        ("c1", 0, "user", "the neuron and another cell", None, None),
+        ("c1", 1, "user", "Neurons fire; the interneuron waits.", None, None),
+    ]
+    tdf = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    gold = spark.createDataFrame(
+        [
+            ("c1", 0, "CL:0000540", 4, 10),
+            ("c1", 0, "CL:0000000", 23, 27),
+            ("c1", 1, "CL:0000540", 0, 7),
+            ("c1", 1, "CL:0000099", 18, 29),
+        ],
+        "conv_id string, turn_idx int, concept_id string, begin int, end int",
+    )
+    # index 0 = CONTIGUOUS/FOLD_DIGITS/PORTER/EXACT_ONLY; find one
+    # case-insensitive+porter combo and check it reaches perfect parity
+    grid = param_grid()
+    best_idx = next(
+        i for i, c in enumerate(grid)
+        if c.case_match == "CASE_INSENSITIVE" and c.stemmer == "PORTER"
+        and c.search_strategy == "CONTIGUOUS_MATCH"
+        and c.stopwords == "NONE" and not c.find_all_matches
+        and not c.order_independent and c.synonym_type == "EXACT_ONLY"
+    )
+    results = run_grid(
+        spark, tdf, {"CL": MINI_OBO}, gold, "CL", indices=[0, best_idx]
+    )
+    by_idx = {r.index: r for r in results}
+    assert by_idx[best_idx].fn == 0 and by_idx[best_idx].fp == 0
+    # CASE_FOLD_DIGITS (index 0) misses "Neurons" (capital, no digits)
+    assert by_idx[0].fn >= 1
+    cdf = compile_results(spark, results)
+    row = cdf.filter(cdf["param_idx"] == best_idx).first()
+    assert row.f1 == 1.0
+
+
+def test_read_text_dir_and_split(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("first line\nsecond line\n")
+    (tmp_path / "b.txt").write_text("only line\n")
+    docs = read_text_dir(spark, str(tmp_path))
+    assert {r.doc_id for r in docs.collect()} == {"a", "b"}
+    t = text_dir_to_transcripts(docs)
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.collect()}
+    assert rows[("a", 0)] == "first line" and rows[("a", 1)] == "second line"
+    # skip/limit determinism
+    assert read_text_dir(spark, str(tmp_path), num=1).first().doc_id == "a"
+    assert read_text_dir(spark, str(tmp_path), skip=1).first().doc_id == "b"
+
+
+def test_read_transcripts_schema_check(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [("c", 0, "user", "x", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    ).write.parquet(p)
+    assert read_transcripts(spark, p).count() == 1
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([("c",)], "conv_id string").write.parquet(bad)
+    with pytest.raises(ValueError, match="missing columns"):
+        read_transcripts(spark, bad)
+
+
+def test_load_catalog_metadata_join(spark):
+    files = spark.createDataFrame(
+        [("PMC1.nxml.gz",), ("PMC2.nxml.gz",)], "filename string"
+    )
+    meta = spark.createDataFrame(
+        [("PMC1.nxml.gz", "J Biol", "CC-BY")],
+        "filename string, journal string, license string",
+    )
+    out = {r.filename: r for r in load_catalog(files, meta).collect()}
+    assert out["PMC1.nxml.gz"].journal == "J Biol"
+    assert out["PMC2.nxml.gz"].journal is None
+    assert len(out["PMC1.nxml.gz"].dir1) == 2
+
+
+def test_stream_detect_incremental(spark, tmp_path):
+    """Structured-Streaming resume: a second AvailableNow run processes only
+    new files (engine checkpoint ≡ lineage anti-join semantics)."""
+    from kgpipe.detect import build_dictionary_df
+    from kgpipe.streaming import stream_detect
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    spark.createDataFrame(
+        [("c1", 0, "user", "a neuron appears", None, None)], schema
+    ).write.parquet(str(in_dir / "batch1"))
+    d = build_dictionary_df(spark, {"CL": MINI_OBO})
+
+    stream_detect(spark, str(in_dir / "*"), d, out_dir, ckpt)
+    first = spark.read.parquet(out_dir).count()
+    assert first >= 1
+
+    spark.createDataFrame(
+        [("c2", 0, "user", "the interneuron waits", None, None)], schema
+    ).write.parquet(str(in_dir / "batch2"))
+    stream_detect(spark, str(in_dir / "*"), d, out_dir, ckpt)
+    rows = spark.read.parquet(out_dir)
+    assert rows.count() > first
+    assert rows.filter("conv_id = 'c1'").count() == first  # no reprocessing
