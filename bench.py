@@ -94,6 +94,17 @@ def kg_e2e(spark, tdf, dictionary, out_dir: str) -> int:
         raw.unpersist()
 
 
+def kg_e2e_fused(spark, tdf, dictionary, out_dir: str) -> None:
+    """Fused conversation-local plan: one shuffle (group by conv) + write —
+    the 1000-executor-shaped physical plan (kgpipe.fused)."""
+    from kgpipe.fused import fused_conv_triples
+    from kgpipe.triples import write_triples
+
+    triples = fused_conv_triples(tdf, dictionary, cooc_window=3)
+    write_triples(triples, out_dir, n_buckets=N_BUCKETS, mode="overwrite",
+                  layout="clustered")
+
+
 def run_default() -> None:
     from kgpipe.session import get_spark
 
@@ -119,7 +130,14 @@ def run_default() -> None:
             os.path.join(tmp, "triples")
         ).count()
 
-        # headline 2: detection only (the hot operator)
+        # headline 2: fused one-shuffle plan
+        t0 = time.time()
+        kg_e2e_fused(spark, tdf, d, os.path.join(tmp, "triples_fused"))
+        timings["kg_e2e_fused"] = round(time.time() - t0, 3)
+        extras["fused_turns_per_sec"] = round(
+            n_turns_df / timings["kg_e2e_fused"], 1)
+
+        # headline 3: detection only (the hot operator)
         from kgpipe.detect import detect_mentions
 
         t0 = time.time()
@@ -131,7 +149,7 @@ def run_default() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
     tdf.unpersist()
 
-    # headline 3: oracle-suite queries at the bench SF
+    # headline 4: oracle-suite queries at the bench SF
     qs = entrymod.queries()
     for name in ["mention_detect", "cooccurrence", "minhash_pairs",
                  "cosine_topk", "lineitem_pricing", "dedup_exact"]:
@@ -189,10 +207,14 @@ def run_scaling() -> None:
         d = _dictionary(spark)
         # warm the Python workers / broadcast path outside the timed window
         detect_mentions(tdf.limit(64), d).count()
+        fused = os.environ.get("KGPIPE_SCALE_FUSED", "1") == "1"
         tmp = tempfile.mkdtemp(prefix=f"kgpipe_scale{cores}_")
         try:
             t0 = time.time()
-            kg_e2e(spark, tdf, d, os.path.join(tmp, "triples"))
+            if fused:
+                kg_e2e_fused(spark, tdf, d, os.path.join(tmp, "triples"))
+            else:
+                kg_e2e(spark, tdf, d, os.path.join(tmp, "triples"))
             elapsed = time.time() - t0
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,172 @@
+"""Fused conversation-local pipeline: transcripts → triples in ONE wide
+dependency.
+
+The staged pipeline (detect → TF-IDF disambiguation → canonicalize →
+triple fan-out) pays ~6 shuffles; every one of them except the first
+groups by conv-derived keys.  This operator exploits that: co-locate each
+conversation once (``groupBy(conv_id).applyInPandas``), then run the whole
+per-conversation computation — trie detection per turn, duplicate removal,
+span disambiguation by conversation-level term frequency, canonical-id
+mapping (broadcast union-find map), co-occurrence pairing, role/tool and
+structure triples — inside a single Arrow-batched Python pass.  The only
+remaining wide steps are that one group shuffle and the output write.
+
+Trade-offs vs the staged path (kgpipe.pipeline):
+- disambiguation uses conversation-local TF (ties → min concept id); the
+  staged path scores with global IDF — use it when corpus-level statistics
+  must participate;
+- a single conversation must fit in one task (fine at ≤10³ turns; the
+  Zipf cap here is 200 — for adversarial mega-conversations pre-split on
+  ``turn_idx`` ranges, offsets are turn-relative so splitting is safe).
+
+At 1000 executors this is the plan you want: shuffle bytes ≈ input bytes,
+exactly once, no barrier between per-conversation products.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import schemas
+from .canon import components_from_rows
+from .detect import build_tries, collect_dictionary
+from .normalize import MatchConfig
+from .triples import (
+    CONV_NS,
+    DC_IS_PART_OF,
+    IAO_DOCUMENT,
+    OBO_PREFIX,
+    PRED_COOCCURS,
+    PRED_DENOTES,
+    PRED_ROLE,
+    PRED_TOOL,
+    RDF_TYPE,
+)
+
+_FLAT_SCHEMA = (
+    "subj string, pred string, obj string, conv_id string, turn_idx int,"
+    " ev_begin int, ev_end int, ev_text string"
+)
+
+
+def _concept_uri(cid: str) -> str:
+    if cid.startswith("http"):
+        return cid
+    return OBO_PREFIX + cid.replace(":", "_")
+
+
+def fused_conv_triples(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    configs: Optional[dict[str, MatchConfig]] = None,
+    cooc_window: int = 3,
+    disambiguate: bool = True,
+    canonical: bool = True,
+) -> DataFrame:
+    """transcripts → full triple set with one shuffle (see module doc)."""
+    spark = transcripts.sparkSession
+    rows = collect_dictionary(dictionary)
+    tries = build_tries(rows, configs)
+    comp_map = components_from_rows(rows) if canonical else {}
+    bc = spark.sparkContext.broadcast((tries, comp_map))
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        tries_l, comp = bc.value
+        out = {k: [] for k in ("subj", "pred", "obj", "conv_id", "turn_idx",
+                               "ev_begin", "ev_end", "ev_text")}
+
+        def emit(subj, pred, obj, conv_id, turn_idx=None,
+                 ev=(None, None, None)):
+            out["subj"].append(subj)
+            out["pred"].append(pred)
+            out["obj"].append(obj)
+            out["conv_id"].append(conv_id)
+            out["turn_idx"].append(turn_idx)
+            out["ev_begin"].append(ev[0])
+            out["ev_end"].append(ev[1])
+            out["ev_text"].append(ev[2])
+
+        pdf = pdf.sort_values("turn_idx")
+        conv_id = pdf["conv_id"].iloc[0]
+        conv_uri = CONV_NS + conv_id
+        emit(conv_uri, RDF_TYPE, IAO_DOCUMENT, conv_id)
+
+        # detect per turn (turn-relative offsets — the per-turn text
+        # equality invariant), dedupe identical (turn, concept, span)
+        mentions: list[tuple[int, str, int, int, str]] = []
+        seen: set = set()
+        for turn_idx, role, tool, text in zip(
+            pdf["turn_idx"], pdf["role"], pdf["tool"], pdf["text"]
+        ):
+            ti = int(turn_idx)
+            turn_uri = f"{CONV_NS}{conv_id}#t{ti}"
+            emit(turn_uri, DC_IS_PART_OF, conv_uri, conv_id, ti)
+            if role is not None and not pd.isna(role):
+                emit(turn_uri, PRED_ROLE, role, conv_id, ti)
+            if tool is not None and not (isinstance(tool, float) and pd.isna(tool)):
+                emit(turn_uri, PRED_TOOL, tool, conv_id, ti)
+            if text is None or (isinstance(text, float) and pd.isna(text)):
+                continue
+            for trie in tries_l.values():
+                for _, cid, b, e, cov in trie.scan_text(text):
+                    key = (ti, cid, b, e)
+                    if key not in seen:
+                        seen.add(key)
+                        mentions.append((ti, cid, b, e, cov))
+
+        # conversation-local TF disambiguation: for span-ambiguous mentions
+        # keep the concept with the highest conv-level frequency, ties to
+        # the smaller id (deterministic)
+        if disambiguate and mentions:
+            tf: dict[str, int] = {}
+            for _, cid, _, _, _ in mentions:
+                tf[cid] = tf.get(cid, 0) + 1
+            by_span: dict[tuple[int, int, int], tuple] = {}
+            for m in mentions:
+                ti, cid, b, e, cov = m
+                k = (ti, b, e)
+                best = by_span.get(k)
+                if best is None or (-tf[cid], cid) < (-tf[best[1]], best[1]):
+                    by_span[k] = m
+            mentions = sorted(by_span.values())
+
+        # canonical mapping + denotes triples + windowed co-occurrence
+        pair_counts: dict[tuple[str, str], int] = {}
+        canon_mentions = []
+        for ti, cid, b, e, cov in mentions:
+            ccid = comp.get(cid, cid)
+            canon_mentions.append((ti, ccid, b, e, cov))
+            emit(f"{CONV_NS}{conv_id}#t{ti}", PRED_DENOTES, _concept_uri(ccid),
+                 conv_id, ti, (b, e, cov))
+        # co-occurrence: |Δturn| <= window, a < b, counted per conv
+        n = len(canon_mentions)
+        for i in range(n):
+            ta, ca = canon_mentions[i][0], canon_mentions[i][1]
+            for j in range(n):
+                if i == j:
+                    continue
+                tb, cb = canon_mentions[j][0], canon_mentions[j][1]
+                if abs(ta - tb) <= cooc_window and ca < cb:
+                    pair_counts[(ca, cb)] = pair_counts.get((ca, cb), 0) + 1
+        for (ca, cb), _cnt in sorted(pair_counts.items()):
+            emit(_concept_uri(ca), PRED_COOCCURS, _concept_uri(cb), conv_id)
+
+        return pd.DataFrame(out)
+
+    flat = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool", "text"
+    ).groupBy("conv_id").applyInPandas(per_conv, schema=_FLAT_SCHEMA)
+    return flat.select(
+        "subj", "pred", "obj", "conv_id", "turn_idx",
+        F.when(
+            F.col("ev_begin").isNotNull(),
+            F.struct(
+                F.col("ev_begin").alias("begin"),
+                F.col("ev_end").alias("end"),
+                F.col("ev_text").alias("text"),
+            ),
+        ).alias("evidence"),
+    )

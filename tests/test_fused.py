@@ -1,0 +1,57 @@
+"""The fused conversation-local pipeline must produce exactly the same
+triple set as the staged operators when configured identically
+(disambiguation off — the staged path scores globally, the fused path
+conversation-locally, so equality is asserted on the shared semantics)."""
+
+from __future__ import annotations
+
+from conftest import MINI_OBO
+from kgpipe.canon import canonicalize
+from kgpipe.detect import build_dictionary_df, detect_mentions
+from kgpipe.fused import fused_conv_triples
+from kgpipe.synth import generate_transcripts
+from kgpipe.triples import all_triples
+
+T_SCHEMA = ("conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp")
+
+
+def test_fused_equals_staged(spark):
+    rows, _ = generate_transcripts(n_convs=40, seed=7)
+    tdf = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+         for r in rows],
+        T_SCHEMA,
+    )
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO})
+
+    staged_mentions = canonicalize(detect_mentions(tdf, ddf), ddf)
+    staged = all_triples(tdf, staged_mentions, concept_col="canonical_id",
+                         cooc_window=3)
+    fused = fused_conv_triples(tdf, ddf, cooc_window=3, disambiguate=False)
+
+    s_rows = {tuple(r) for r in
+              staged.select("subj", "pred", "obj", "conv_id", "turn_idx",
+                            "evidence").collect()}
+    f_rows = {tuple(r) for r in
+              fused.select("subj", "pred", "obj", "conv_id", "turn_idx",
+                           "evidence").collect()}
+    only_s = s_rows - f_rows
+    only_f = f_rows - s_rows
+    assert not only_s and not only_f, (
+        sorted(only_s)[:3], sorted(only_f)[:3]
+    )
+
+
+def test_fused_disambiguation_keeps_one_per_span(spark):
+    # two concepts share the variant "shared gadget" in mini.obo; with
+    # disambiguation on, only one survives per span and it is canonicalized
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user", "a shared gadget appears", None, None)], T_SCHEMA
+    )
+    ddf = build_dictionary_df(spark, {"SYN": MINI_OBO})
+    out = fused_conv_triples(tdf, ddf, disambiguate=True).filter(
+        "pred = 'http://purl.org/kgpipe/denotes'"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].obj.endswith("SYN_0000001")  # merged representative
