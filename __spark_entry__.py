@@ -152,7 +152,7 @@ _LANG_SQL_MARKERS = {
 }
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_total(bits: int = 16) -> str:
     bit_terms = []
     for j in range(bits):
         contrib = (
@@ -161,12 +161,62 @@ def _simhash_sql(bits: int = 16) -> str:
             "THEN -1 ELSE 1 END))"
         )
         bit_terms.append(f"(CASE WHEN {contrib} > 0 THEN {1 << j} ELSE 0 END)")
-    total = " + ".join(bit_terms)
+    return " + ".join(bit_terms)
+
+
+def _simhash_sql(bits: int = 16) -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents
 )
-SELECT doc_id, ({total})::bigint AS simhash FROM t
+SELECT doc_id, ({_simhash_total(bits)})::bigint AS simhash FROM t
+"""
+
+
+def _simhash_near_dup_sql(bits: int = 16, max_hamming: int = 2) -> str:
+    half = 1 << (bits // 2)
+    return f"""
+WITH {_SQL_DOUBLED.lstrip()},
+sub AS (SELECT doc_id, text FROM doubled WHERE (doc_id % 100000) < 200),
+t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM sub),
+s AS (SELECT doc_id, ({_simhash_total(bits)})::bigint AS sh FROM t)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh))::int AS hamming
+FROM s a JOIN s b
+  ON a.doc_id < b.doc_id
+ AND (a.sh % {half} = b.sh % {half} OR a.sh // {half} = b.sh // {half})
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+def _embedding_near_dup_sql(threshold: float = 0.95, n_planes: int = 10) -> str:
+    from kgpipe.similarity import _hyperplane
+
+    bit_terms = []
+    for j in range(n_planes):
+        plane = _hyperplane(64, 42, j)
+        lits = ", ".join(repr(x) for x in plane)
+        bit_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{lits}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bkt = " + ".join(bit_terms)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+doubled AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, e FROM base
+),
+sub AS (SELECT vec_id, e FROM doubled WHERE (vec_id % 100000) < 300),
+keyed AS (SELECT vec_id, e, ({bkt}) AS bkt FROM sub)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM keyed a JOIN keyed b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      >= {threshold}
 """
 
 
@@ -454,6 +504,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("total_value"),
         )
 
+    # ---- evaluation variants / serializers / catalog ops ----------------
+    def _overlap_gold_eval(spark, sf_dir):
+        m = _mentions(spark, sf_dir)
+        gold = m.filter(F.col("concept_id").isin("T:0001", "T:0002"))
+        ev = (
+            m.filter(F.col("concept_id").isin("T:0001", "T:0003"))
+            .withColumn(
+                "begin",
+                F.when(F.col("concept_id") == "T:0001", F.col("begin") + 1)
+                .otherwise(F.col("begin")),
+            )
+            .withColumn(
+                "end",
+                F.when(F.col("concept_id") == "T:0001", F.col("end") + 1)
+                .otherwise(F.col("end")),
+            )
+        )
+        return gold, ev
+
+    def q_eval_overlap(spark, sf_dir):
+        gold, ev = _overlap_gold_eval(spark, sf_dir)
+        return compare(gold, ev, span="OVERLAP")
+
+    def q_per_doc_summary(spark, sf_dir):
+        from kgpipe.evaluate import per_document_summary
+
+        gold, ev = _gold_eval(spark, sf_dir)
+        return per_document_summary(compare(gold, ev, span="STRICT"))
+
+    def q_score_cutoff(spark, sf_dir):
+        from kgpipe.filters import score_filter
+
+        m = _mentions(spark, sf_dir).withColumn(
+            "score", (F.col("begin") * 7 + F.col("end")) % 1000
+        )
+        return score_filter(m, 500)
+
+    def q_status_counts(spark, sf_dir):
+        from kgpipe.lineage import status_counts
+
+        lineage = _docs(spark, sf_dir).select(
+            F.concat(F.lit("RK"), (F.col("doc_id") % 2).cast("string"))
+            .alias("run_key"),
+            (F.col("doc_id") % 16).cast("int").alias("partition_id"),
+            F.when(F.col("doc_id") % 16 < 8, F.lit("COMPLETE"))
+            .when(F.col("doc_id") % 16 == 8, F.lit("ERROR"))
+            .otherwise(F.lit("OUTSTANDING"))
+            .alias("status"),
+        )
+        return status_counts(lineage)
+
+    def q_subtree_strip(spark, sf_dir):
+        from kgpipe.filters import remove_subtree, strip_namespace
+
+        m = _mentions(spark, sf_dir).select(
+            "conv_id", "turn_idx", "concept_id", "begin", "end"
+        )
+        return strip_namespace(remove_subtree(m, {"T:0001", "T:0004"}))
+
+    def q_a1_lines(spark, sf_dir):
+        from kgpipe.serde import mentions_to_a1_lines
+
+        m = _mentions(spark, sf_dir).withColumn(
+            "conv_id",
+            F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string")),
+        )
+        return mentions_to_a1_lines(m)
+
+    def q_annot_json(spark, sf_dir):
+        from kgpipe.serde import mentions_to_annot_json
+
+        return mentions_to_annot_json(_mentions(spark, sf_dir))
+
+    def q_ntriples_mentions(spark, sf_dir):
+        from kgpipe.triples import mention_triples, to_ntriples_lines
+
+        return to_ntriples_lines(mention_triples(_mentions(spark, sf_dir)))
+
+    # ---- near-dup extensions -------------------------------------------
+    def q_simhash_near_dup(spark, sf_dir):
+        from kgpipe.textops import simhash_near_dups
+
+        sub = _doubled(spark, sf_dir).filter((F.col("doc_id") % 100000) < 200)
+        return simhash_near_dups(sub, bits=16, max_hamming=2).withColumn(
+            "hamming", F.col("hamming").cast("int")
+        )
+
+    def q_embedding_near_dup(spark, sf_dir):
+        from kgpipe.similarity import pairwise_cosine_dedup
+
+        e = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        doubled = e.unionByName(
+            e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        ).filter((F.col("vec_id") % 100000) < 300)
+        return pairwise_cosine_dedup(
+            doubled, dim=64, threshold=0.95, n_planes=10
+        ).select("vec_a", "vec_b")
+
     # ---- non-SQL-expressible (rows-only checks) -------------------------
     def q_kg_triples(spark, sf_dir):
         from kgpipe.detect import detect_mentions
@@ -506,6 +656,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "eval_overlap": q_eval_overlap,
+        "per_doc_summary": q_per_doc_summary,
+        "score_cutoff": q_score_cutoff,
+        "status_counts": q_status_counts,
+        "subtree_strip": q_subtree_strip,
+        "a1_lines": q_a1_lines,
+        "annot_json": q_annot_json,
+        "ntriples_mentions": q_ntriples_mentions,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
         "revenue_by_segment": q_revenue_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "topk_orders_per_segment": q_topk_orders_per_segment,
@@ -704,6 +864,102 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, vec_id, rank::int AS rank FROM ranked WHERE rank <= 5""",
+        "eval_overlap": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+gold AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0002')),
+ev AS (SELECT conv_id, turn_idx, concept_id,
+         (CASE WHEN concept_id='T:0001' THEN begin+1 ELSE begin END)::int AS begin,
+         (CASE WHEN concept_id='T:0001' THEN "end"+1 ELSE "end" END)::int AS "end"
+       FROM mentions WHERE concept_id IN ('T:0001','T:0003')),
+tp AS (SELECT g.conv_id, g.turn_idx, 'TP' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND g.begin < e."end" AND e.begin < g."end")),
+fn AS (SELECT g.conv_id, g.turn_idx, 'FN' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND g.begin < e."end" AND e.begin < g."end")),
+fp AS (SELECT e.conv_id, e.turn_idx, 'FP' AS outcome, e.concept_id, e.begin, e."end"
+       FROM ev e WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id=e.conv_id
+         AND g.turn_idx=e.turn_idx AND g.concept_id=e.concept_id
+         AND g.begin < e."end" AND e.begin < g."end"))
+SELECT * FROM tp UNION ALL SELECT * FROM fn UNION ALL SELECT * FROM fp""",
+        "per_doc_summary": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+gold AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0002')),
+ev   AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0003')),
+tp AS (SELECT g.conv_id, 'TP' AS outcome FROM gold g
+       WHERE EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND e.begin=g.begin AND e."end"=g."end")),
+fn AS (SELECT g.conv_id, 'FN' AS outcome FROM gold g
+       WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND e.begin=g.begin AND e."end"=g."end")),
+fp AS (SELECT e.conv_id, 'FP' AS outcome FROM ev e
+       WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id=e.conv_id
+         AND g.turn_idx=e.turn_idx AND g.concept_id=e.concept_id
+         AND g.begin=e.begin AND g."end"=e."end")),
+outcomes AS (SELECT * FROM tp UNION ALL SELECT * FROM fn
+             UNION ALL SELECT * FROM fp)
+SELECT conv_id,
+       count(*) FILTER (outcome = 'TP') AS tp,
+       count(*) FILTER (outcome = 'FP') AS fp,
+       count(*) FILTER (outcome = 'FN') AS fn
+FROM outcomes GROUP BY conv_id""",
+        "score_cutoff": f"""
+WITH {_SQL_MENTIONS.lstrip()}
+SELECT conv_id, turn_idx, concept_id, begin, "end", covered_text,
+       ((begin * 7 + "end") % 1000)::int AS score
+FROM mentions WHERE (begin * 7 + "end") % 1000 >= 500""",
+        "status_counts": """
+WITH l AS (
+  SELECT 'RK' || (doc_id % 2)::varchar AS run_key,
+         (doc_id % 16)::int AS partition_id,
+         CASE WHEN doc_id % 16 < 8 THEN 'COMPLETE'
+              WHEN doc_id % 16 = 8 THEN 'ERROR'
+              ELSE 'OUTSTANDING' END AS status
+  FROM documents)
+SELECT run_key,
+       count(DISTINCT partition_id) FILTER (status = 'COMPLETE') AS "COMPLETE",
+       count(DISTINCT partition_id) FILTER (status = 'ERROR') AS "ERROR",
+       count(DISTINCT partition_id) FILTER (status = 'OUTSTANDING')
+         AS "OUTSTANDING"
+FROM l GROUP BY run_key""",
+        "subtree_strip": f"""
+WITH {_SQL_MENTIONS.lstrip()}
+SELECT conv_id, turn_idx,
+       regexp_replace(concept_id, '^[A-Za-z_]+:', '') AS concept_id,
+       begin, "end"
+FROM mentions WHERE concept_id NOT IN ('T:0001','T:0004')""",
+        "a1_lines": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+m AS (SELECT conv_id || ':' || turn_idx::varchar AS doc_id,
+             concept_id, begin, "end", covered_text FROM mentions),
+n AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY begin, "end", concept_id) AS i FROM m)
+SELECT doc_id, i::int AS i,
+  'T' || i::varchar || chr(9) || 'ontology_term ' || begin::varchar || ' '
+      || "end"::varchar || chr(9) || covered_text AS t_line,
+  'N' || i::varchar || chr(9) || 'Reference T' || i::varchar || ' '
+      || concept_id || chr(9) AS n_line
+FROM n""",
+        "annot_json": f"""
+WITH {_SQL_MENTIONS.lstrip()}
+SELECT '{{"documentId":"' || conv_id || ':' || turn_idx::varchar
+    || '","annotatorName":"kgpipe","type":"' || concept_id
+    || '","spans":[[' || begin::varchar || ',' || "end"::varchar
+    || ']],"coveredText":"' || covered_text || '"}}' AS value
+FROM mentions""",
+        "ntriples_mentions": f"""
+WITH {_SQL_MENTIONS.lstrip()}
+SELECT '<https://kg.example.org/conv/' || conv_id || '#t'
+    || turn_idx::varchar
+    || '> <http://purl.org/kgpipe/denotes> <http://purl.obolibrary.org/obo/'
+    || replace(concept_id, ':', '_') || '> .' AS value
+FROM mentions""",
+        "simhash_near_dup": _simhash_near_dup_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
         "revenue_by_segment": """
 SELECT c.c_mktsegment,
        (sum(o.o_totalprice::DECIMAL(18,2)))::double AS revenue,
