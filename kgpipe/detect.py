@@ -82,6 +82,11 @@ def detect_mentions(
     Mentions carry turn-relative char offsets (per-row invariant: per-turn
     text equality under stable turn ordering — offsets never depend on
     neighbouring turns, so partitioning is free to split conversations).
+
+    ``drop_duplicates`` dedupes identical (concept, begin, end) annotations
+    turn-locally inside the scan (narrow; no shuffle).  It assumes the input
+    invariant that (conv_id, turn_idx) rows are unique — duplicated input
+    rows are the caller's bug, not annotation duplicates.
     """
     spark = transcripts.sparkSession
     if local_rows is None:
@@ -101,9 +106,23 @@ def detect_mentions(
             ):
                 if text is None:
                     continue
+                # DuplicateAnnotationRemovalFilter_AE analogue
+                # (EntityFinder.java:104): identical annotations can only
+                # arise within one turn's scan (the dedup key contains
+                # conv_id+turn_idx, and a turn is processed by exactly one
+                # input row), so dedup is turn-local — a per-turn seen-set
+                # here keeps the whole detect stage NARROW instead of
+                # paying a corpus-wide dropDuplicates shuffle, and is
+                # deterministic (first match in scan order wins).
+                seen: set = set()
                 try:
                     for trie in tries_local.values():
                         for ont, cid, b, e, cov in trie.scan_text(text):
+                            if drop_duplicates:
+                                key = (cid, b, e)
+                                if key in seen:
+                                    continue
+                                seen.add(key)
                             out["conv_id"].append(conv_id)
                             out["turn_idx"].append(int(turn_idx))
                             out["ontology"].append(ont)
@@ -123,12 +142,6 @@ def detect_mentions(
                     out["error"].append(f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(out)
 
-    mentions = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         scan_batches, schema=schemas.MENTIONS
     )
-    if drop_duplicates:
-        # DuplicateAnnotationRemovalFilter_AE analogue (EntityFinder.java:104)
-        mentions = mentions.dropDuplicates(
-            ["conv_id", "turn_idx", "concept_id", "begin", "end"]
-        )
-    return mentions
