@@ -15,9 +15,11 @@ Trade-offs vs the staged path (kgpipe.pipeline):
 - disambiguation uses conversation-local TF (ties → min concept id); the
   staged path scores with global IDF — use it when corpus-level statistics
   must participate;
-- a single conversation must fit in one task (fine at ≤10³ turns; the
-  Zipf cap here is 200 — for adversarial mega-conversations pre-split on
-  ``turn_idx`` ranges, offsets are turn-relative so splitting is safe).
+- a single conversation must fit in one task — unless
+  ``max_turns_per_group`` is set, which splits conversations into
+  turn-index blocks (ghost-replicated at the boundary so windowed
+  co-occurrence stays exact; offsets are turn-relative so splitting is
+  safe) and bounds per-task state for adversarial mega-conversations.
 
 At 1000 executors this is the plan you want: shuffle bytes ≈ input bytes,
 exactly once, no barrier between per-conversation products.
@@ -65,13 +67,33 @@ def fused_conv_triples(
     cooc_window: int = 3,
     disambiguate: bool = True,
     canonical: bool = True,
+    max_turns_per_group: Optional[int] = None,
 ) -> DataFrame:
-    """transcripts → full triple set with one shuffle (see module doc)."""
+    """transcripts → full triple set with one shuffle (see module doc).
+
+    ``max_turns_per_group`` is the mega-conversation skew guard (SURVEY.md
+    §7 "Skew"): when set (must be >= cooc_window), conversations are split
+    into turn-index blocks of that size and the group key becomes
+    (conv_id, block), so no single task ever holds more than ~2 blocks of
+    turns regardless of how hot a conversation is.  Co-occurrence parity
+    with the unsplit plan is exact: the first ``cooc_window`` turns of each
+    block are replicated into the previous block as *ghost* rows (they
+    contribute pair partners but no structure/denotes output), every pair
+    is counted in the home block of its earlier turn, and the per-block
+    pair lists are deduplicated conversation-wide afterwards.  Only the
+    conversation-local TF used for span disambiguation becomes
+    block-local — at this setting corpus-level scoring belongs to the
+    staged path anyway (see trade-offs above).
+    """
     spark = transcripts.sparkSession
     rows = collect_dictionary(dictionary)
     tries = build_tries(rows, configs)
     comp_map = components_from_rows(rows) if canonical else {}
     bc = spark.sparkContext.broadcast((tries, comp_map))
+    if max_turns_per_group is not None and max_turns_per_group < cooc_window:
+        raise ValueError("max_turns_per_group must be >= cooc_window")
+
+    block_size = max_turns_per_group
 
     def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         tries_l, comp = bc.value
@@ -91,23 +113,31 @@ def fused_conv_triples(
 
         pdf = pdf.sort_values("turn_idx")
         conv_id = pdf["conv_id"].iloc[0]
+        block = int(pdf["block"].iloc[0])
         conv_uri = CONV_NS + conv_id
-        emit(conv_uri, RDF_TYPE, IAO_DOCUMENT, conv_id)
+        if block == 0:  # conversation-level triple once, not per block
+            emit(conv_uri, RDF_TYPE, IAO_DOCUMENT, conv_id)
 
         # detect per turn (turn-relative offsets — the per-turn text
-        # equality invariant), dedupe identical (turn, concept, span)
-        mentions: list[tuple[int, str, int, int, str]] = []
+        # equality invariant), dedupe identical (turn, concept, span).
+        # Ghost rows (next block's first `cooc_window` turns, replicated
+        # here as pair partners) produce NO structure/denotes output.
+        mentions: list[tuple[int, str, int, int, str, bool]] = []
         seen: set = set()
-        for turn_idx, role, tool, text in zip(
-            pdf["turn_idx"], pdf["role"], pdf["tool"], pdf["text"]
+        for turn_idx, role, tool, text, ghost in zip(
+            pdf["turn_idx"], pdf["role"], pdf["tool"], pdf["text"],
+            pdf["is_ghost"],
         ):
             ti = int(turn_idx)
+            ghost = bool(ghost)
             turn_uri = f"{CONV_NS}{conv_id}#t{ti}"
-            emit(turn_uri, DC_IS_PART_OF, conv_uri, conv_id, ti)
-            if role is not None and not pd.isna(role):
-                emit(turn_uri, PRED_ROLE, role, conv_id, ti)
-            if tool is not None and not (isinstance(tool, float) and pd.isna(tool)):
-                emit(turn_uri, PRED_TOOL, tool, conv_id, ti)
+            if not ghost:
+                emit(turn_uri, DC_IS_PART_OF, conv_uri, conv_id, ti)
+                if role is not None and not pd.isna(role):
+                    emit(turn_uri, PRED_ROLE, role, conv_id, ti)
+                if tool is not None and not (isinstance(tool, float)
+                                             and pd.isna(tool)):
+                    emit(turn_uri, PRED_TOOL, tool, conv_id, ti)
             if text is None or (isinstance(text, float) and pd.isna(text)):
                 continue
             for trie in tries_l.values():
@@ -115,18 +145,18 @@ def fused_conv_triples(
                     key = (ti, cid, b, e)
                     if key not in seen:
                         seen.add(key)
-                        mentions.append((ti, cid, b, e, cov))
+                        mentions.append((ti, cid, b, e, cov, ghost))
 
         # conversation-local TF disambiguation: for span-ambiguous mentions
         # keep the concept with the highest conv-level frequency, ties to
-        # the smaller id (deterministic)
+        # the smaller id (deterministic; block-local when splitting)
         if disambiguate and mentions:
             tf: dict[str, int] = {}
-            for _, cid, _, _, _ in mentions:
+            for _, cid, _, _, _, _ in mentions:
                 tf[cid] = tf.get(cid, 0) + 1
             by_span: dict[tuple[int, int, int], tuple] = {}
             for m in mentions:
-                ti, cid, b, e, cov = m
+                ti, cid, b, e, cov, ghost = m
                 k = (ti, b, e)
                 best = by_span.get(k)
                 if best is None or (-tf[cid], cid) < (-tf[best[1]], best[1]):
@@ -136,12 +166,17 @@ def fused_conv_triples(
         # canonical mapping + denotes triples + windowed co-occurrence
         pair_counts: dict[tuple[str, str], int] = {}
         canon_mentions = []
-        for ti, cid, b, e, cov in mentions:
+        for ti, cid, b, e, cov, ghost in mentions:
             ccid = comp.get(cid, cid)
-            canon_mentions.append((ti, ccid, b, e, cov))
-            emit(f"{CONV_NS}{conv_id}#t{ti}", PRED_DENOTES, _concept_uri(ccid),
-                 conv_id, ti, (b, e, cov))
-        # co-occurrence: |Δturn| <= window, a < b, counted per conv
+            canon_mentions.append((ti, ccid, b, e, cov, ghost))
+            if not ghost:
+                emit(f"{CONV_NS}{conv_id}#t{ti}", PRED_DENOTES,
+                     _concept_uri(ccid), conv_id, ti, (b, e, cov))
+        # co-occurrence: |Δturn| <= window, a < b, counted per conv.
+        # When splitting, a pair belongs to the home block of its EARLIER
+        # turn — each unordered pair is visible in exactly one group
+        # (ghost↔ghost pairs belong to the next block, where both turns
+        # are regular rows), so no pair is double-counted.
         n = len(canon_mentions)
         for i in range(n):
             ta, ca = canon_mentions[i][0], canon_mentions[i][1]
@@ -150,15 +185,46 @@ def fused_conv_triples(
                     continue
                 tb, cb = canon_mentions[j][0], canon_mentions[j][1]
                 if abs(ta - tb) <= cooc_window and ca < cb:
+                    if (block_size is not None
+                            and min(ta, tb) // block_size != block):
+                        continue
                     pair_counts[(ca, cb)] = pair_counts.get((ca, cb), 0) + 1
         for (ca, cb), _cnt in sorted(pair_counts.items()):
             emit(_concept_uri(ca), PRED_COOCCURS, _concept_uri(cb), conv_id)
 
         return pd.DataFrame(out)
 
-    flat = transcripts.select(
-        "conv_id", "turn_idx", "role", "tool", "text"
-    ).groupBy("conv_id").applyInPandas(per_conv, schema=_FLAT_SCHEMA)
+    base = transcripts.select("conv_id", "turn_idx", "role", "tool", "text")
+    if block_size is None:
+        keyed = base.withColumn("block", F.lit(0)).withColumn(
+            "is_ghost", F.lit(False)
+        )
+        flat = keyed.groupBy("conv_id").applyInPandas(
+            per_conv, schema=_FLAT_SCHEMA
+        )
+    else:
+        keyed = base.withColumn(
+            "block", F.floor(F.col("turn_idx") / block_size).cast("int")
+        ).withColumn("is_ghost", F.lit(False))
+        ghosts = (
+            keyed.filter(
+                (F.col("turn_idx") % block_size < cooc_window)
+                & (F.col("block") > 0)
+            )
+            .withColumn("block", F.col("block") - 1)
+            .withColumn("is_ghost", F.lit(True))
+        )
+        flat = (
+            keyed.unionByName(ghosts)
+            .groupBy("conv_id", "block")
+            .applyInPandas(per_conv, schema=_FLAT_SCHEMA)
+        )
+        # a (conv, pair) co-occurrence triple may surface from several
+        # blocks; dedupe just that (small, aggregate-shaped) slice
+        cooc = flat.filter(F.col("pred") == PRED_COOCCURS).dropDuplicates(
+            ["conv_id", "subj", "obj"]
+        )
+        flat = flat.filter(F.col("pred") != PRED_COOCCURS).unionByName(cooc)
     return flat.select(
         "subj", "pred", "obj", "conv_id", "turn_idx",
         F.when(

@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from .canon import canonicalize
 from .detect import build_dictionary_df, detect_mentions
 from .disambig import mayla_filter, tfidf_disambiguate
-from .filters import remove_duplicates
 from .lineage import run_with_lineage
 from .session import get_spark
 from .triples import all_triples, write_triples
@@ -37,6 +36,8 @@ class PipelineConfig:
     canonical: bool = True
     n_buckets: int = 64
     salt_partitions: Optional[int] = None  # repartition width for skewed input
+    fused: bool = False  # one-shuffle conversation-local plan (kgpipe.fused)
+    max_turns_per_group: Optional[int] = None  # fused-plan mega-conv guard
 
 
 def build_mentions(
@@ -55,8 +56,9 @@ def build_mentions(
             F.col("conv_id"),
             F.pmod(F.col("turn_idx"), F.lit(8)),
         )
+    # detect_mentions dedupes identical annotations turn-locally inside the
+    # scan (narrow) — no corpus-wide remove_duplicates shuffle needed here
     mentions = detect_mentions(transcripts, dictionary)
-    mentions = remove_duplicates(mentions)
     if cfg.mayla:
         mentions = mayla_filter(
             mentions, transcripts, dictionary, cfg.mayla_concept_freq
@@ -78,6 +80,22 @@ def run_pipeline(
     """Full run; with *lineage_path* the run is resumable per bucket."""
     dictionary = build_dictionary_df(spark, cfg.obo_paths)
     concept_col = "canonical_id" if cfg.canonical else "concept_id"
+
+    if cfg.fused:
+        if lineage_path:
+            raise ValueError(
+                "fused mode has no per-mention error quarantine; use the "
+                "staged path for lineage-tracked resumable runs"
+            )
+        from .fused import fused_conv_triples
+
+        triples = fused_conv_triples(
+            transcripts, dictionary, cooc_window=cfg.cooc_window,
+            disambiguate=cfg.disambiguate, canonical=cfg.canonical,
+            max_turns_per_group=cfg.max_turns_per_group,
+        )
+        write_triples(triples, output_path, cfg.n_buckets, mode="overwrite")
+        return triples
 
     def _stage(tdf: DataFrame):
         mentions = build_mentions(tdf, dictionary, cfg)
@@ -112,6 +130,11 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--cooc-window", type=int, default=3)
     ap.add_argument("--mayla", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="one-shuffle conversation-local plan")
+    ap.add_argument("--max-turns-per-group", type=int, default=None,
+                    help="fused mode: split mega-conversations into turn "
+                         "blocks of this size (skew guard)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -127,6 +150,8 @@ def main(argv: Optional[list[str]] = None) -> None:
         n_buckets=args.buckets,
         cooc_window=args.cooc_window,
         mayla=args.mayla,
+        fused=args.fused,
+        max_turns_per_group=args.max_turns_per_group,
     )
     run_pipeline(spark, transcripts, cfg, args.out, args.lineage)
     spark.stop()

@@ -55,3 +55,36 @@ def test_fused_disambiguation_keeps_one_per_span(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].obj.endswith("SYN_0000001")  # merged representative
+
+
+def test_fused_block_split_matches_unsplit(spark):
+    """Mega-conversation skew guard: splitting conversations into turn
+    blocks (ghost-replicated boundaries) must reproduce the unsplit triple
+    set exactly — structure, denotes, and windowed co-occurrence."""
+    rows, _ = generate_transcripts(n_convs=30, seed=13)
+    tdf = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+         for r in rows],
+        T_SCHEMA,
+    )
+    assert max(r["turn_idx"] for r in rows) >= 10  # multi-block coverage
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO})
+
+    unsplit = fused_conv_triples(tdf, ddf, cooc_window=3, disambiguate=False)
+    split = fused_conv_triples(tdf, ddf, cooc_window=3, disambiguate=False,
+                               max_turns_per_group=5)
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "evidence"]
+    u = {tuple(r) for r in unsplit.select(*cols).collect()}
+    s = {tuple(r) for r in split.select(*cols).collect()}
+    assert u == s, (sorted(u - s)[:3], sorted(s - u)[:3])
+
+
+def test_fused_block_split_requires_window_fit(spark):
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user", "x", None, None)], T_SCHEMA
+    )
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO})
+    import pytest
+
+    with pytest.raises(ValueError):
+        fused_conv_triples(tdf, ddf, cooc_window=5, max_turns_per_group=4)
