@@ -172,23 +172,29 @@ def fused_conv_triples(
             if not ghost:
                 emit(f"{CONV_NS}{conv_id}#t{ti}", PRED_DENOTES,
                      _concept_uri(ccid), conv_id, ti, (b, e, cov))
-        # co-occurrence: |Δturn| <= window, a < b, counted per conv.
+        # co-occurrence: |Δturn| <= window, distinct concepts, each
+        # unordered mention pair counted once under (min, max) concept
+        # order.  Mentions are turn-sorted, so a forward scan that breaks
+        # at Δturn > window is O(n · window-density), not O(n²) — the
+        # difference between minutes and seconds on a mega-conversation.
         # When splitting, a pair belongs to the home block of its EARLIER
         # turn — each unordered pair is visible in exactly one group
         # (ghost↔ghost pairs belong to the next block, where both turns
         # are regular rows), so no pair is double-counted.
+        canon_mentions.sort(key=lambda m: m[0])
         n = len(canon_mentions)
         for i in range(n):
             ta, ca = canon_mentions[i][0], canon_mentions[i][1]
-            for j in range(n):
-                if i == j:
-                    continue
+            if block_size is not None and ta // block_size != block:
+                continue  # min(ta, tb) == ta on a sorted scan
+            for j in range(i + 1, n):
                 tb, cb = canon_mentions[j][0], canon_mentions[j][1]
-                if abs(ta - tb) <= cooc_window and ca < cb:
-                    if (block_size is not None
-                            and min(ta, tb) // block_size != block):
-                        continue
-                    pair_counts[(ca, cb)] = pair_counts.get((ca, cb), 0) + 1
+                if tb - ta > cooc_window:
+                    break
+                if ca == cb:
+                    continue
+                key = (ca, cb) if ca < cb else (cb, ca)
+                pair_counts[key] = pair_counts.get(key, 0) + 1
         for (ca, cb), _cnt in sorted(pair_counts.items()):
             emit(_concept_uri(ca), PRED_COOCCURS, _concept_uri(cb), conv_id)
 
