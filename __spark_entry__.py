@@ -298,18 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_cooccurrence(spark, sf_dir):
-        m = _mentions(spark, sf_dir)
-        a = m.select("conv_id", F.col("turn_idx").alias("ta"),
-                     F.col("concept_id").alias("ca"))
-        b = m.select("conv_id", F.col("turn_idx").alias("tb"),
-                     F.col("concept_id").alias("cb"))
-        return (
-            a.join(b, "conv_id")
-            .filter((F.abs(F.col("ta") - F.col("tb")) <= 3)
-                    & (F.col("ca") < F.col("cb")))
-            .groupBy("conv_id", "ca", "cb")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
+        from kgpipe.triples import cooccurrence_pairs
+
+        return cooccurrence_pairs(_mentions(spark, sf_dir), window=3)
 
     def q_resume_outstanding(spark, sf_dir):
         import datetime as dt

@@ -105,34 +105,61 @@ def mention_triples(mentions: DataFrame, concept_col: str = "concept_id") -> Dat
     )
 
 
+def cooccurrence_pairs(
+    mentions: DataFrame,
+    window: int = 3,
+    concept_col: str = "concept_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Concept co-occurrence counts within a conversation turn-window:
+    rows ``(conv_id, ca, cb, n)`` with ``ca < cb`` (north-star
+    co-occurrence predicates; SURVEY.md §2.3 last row).
+
+    **Banded join**, not a conv-wide self-join: both sides key on
+    (conv_id, turn-bucket of width window+1) and one side replicates to
+    the two adjacent buckets, so every |Δturn| <= window pair meets on
+    exactly one equi-key and the join never enumerates a conversation's
+    full O(n²) pair space — a hot conv_id costs O(n · per-window density).
+    AQE's skew-join splitting further splits residual hot buckets.
+    """
+    bw = window + 1
+    a = mentions.select(
+        "conv_id",
+        F.col("turn_idx").alias("ta"),
+        F.col(concept_col).alias("ca"),
+        F.floor(F.col("turn_idx") / bw).alias("bkt"),
+    )
+    b = mentions.select(
+        "conv_id",
+        F.col("turn_idx").alias("tb"),
+        F.col(concept_col).alias("cb"),
+        F.explode(
+            F.array(*[
+                F.floor(F.col("turn_idx") / bw) + d for d in (-1, 0, 1)
+            ])
+        ).alias("bkt"),
+    )
+    return (
+        a.join(b, ["conv_id", "bkt"])
+        .filter(
+            (F.abs(F.col("ta") - F.col("tb")) <= window)
+            & (F.col("ca") < F.col("cb"))
+        )
+        .groupBy("conv_id", "ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 def cooccurrence_triples(
     mentions: DataFrame,
     window: int = 3,
     concept_col: str = "concept_id",
     min_count: int = 1,
 ) -> DataFrame:
-    """Concept co-occurrence within a conversation turn-window
-    (north-star co-occurrence predicates; SURVEY.md §2.3 last row).
-
-    Self-join on conv_id with a turn_idx band |Δ| <= window; ``a < b``
-    dedupe; aggregated count per (conv, pair).  The equi-key keeps it a
-    partitioned hash join; AQE's skew-join splitting covers hot conv_ids.
-    """
-    a = mentions.select(
-        "conv_id", F.col("turn_idx").alias("ta"), F.col(concept_col).alias("ca")
-    )
-    b = mentions.select(
-        "conv_id", F.col("turn_idx").alias("tb"), F.col(concept_col).alias("cb")
-    )
-    pairs = (
-        a.join(b, "conv_id")
-        .filter(
-            (F.abs(F.col("ta") - F.col("tb")) <= window) & (F.col("ca") < F.col("cb"))
-        )
-        .groupBy("conv_id", "ca", "cb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_count)
-    )
+    """``cooccurrence_pairs`` rendered as (concept, cooccursWith, concept)
+    triples with conv_id provenance."""
+    pairs = cooccurrence_pairs(mentions, window, concept_col, min_count)
     return _as_triples(
         pairs, concept_uri_col("ca"), F.lit(PRED_COOCCURS), concept_uri_col("cb"),
         conv_id="conv_id",
