@@ -93,6 +93,125 @@ def stream_detect(
     return q
 
 
+def stream_conv_pairs(
+    transcript_stream: DataFrame,
+    dictionary: DataFrame,
+    cooc_window: int = 3,
+    configs: Optional[dict] = None,
+    state_timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): incremental
+    windowed co-occurrence over a live transcript stream.
+
+    Per-conversation state buffers the concept sets of the last
+    ``cooc_window`` turns; each micro-batch detects mentions in its new
+    turns (broadcast trie, Arrow-batched), pairs them against the buffer
+    AND against each other under |Δturn| <= window with ``ca < cb``, emits
+    the new pair rows, and rolls the buffer forward.  Pairs that straddle a
+    micro-batch boundary are found exactly once — the property the
+    stateless streaming path cannot provide.  Per-conversation state is
+    tiny by construction — only the last ``cooc_window`` turns' concept
+    sets, never the transcript.  With ``state_timeout_ms`` set, idle
+    conversations additionally drop their state after that much processing
+    time (a conversation resuming later starts a fresh window, matching
+    the batch plan's per-block ghost semantics).
+
+    NOTE: in this sandbox's pyspark 4.1.2 local mode,
+    ``GroupStateTimeout.ProcessingTimeTimeout`` deadlocks the micro-batch
+    (all executor threads block forever reading the Python state worker;
+    reproduced with a trivial stateful counter, so it is an environment
+    bug, not this operator) — hence the ``NoTimeout`` default.  On a
+    cluster where the timeout path works, pass a TTL to bound idle-key
+    state.
+
+    Output rows: ``(conv_id, ta, tb, ca, cb)`` with ta <= tb, ca < cb.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .detect import build_tries
+
+    spark = transcript_stream.sparkSession
+    local_rows = [r.asDict() for r in dictionary.collect()]
+    tries = build_tries(local_rows, configs)
+    bc = spark.sparkContext.broadcast(tries)
+
+    out_schema = ("conv_id string, ta int, tb int, ca string, cb string")
+    state_schema = "tis array<int>, cids array<string>"
+    _EMPTY = {"conv_id": [], "ta": [], "tb": [], "ca": [], "cb": []}
+
+    def per_conv(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(_EMPTY)
+            return
+        tries_local = bc.value
+        if state.exists:
+            tis, cid_strs = state.get
+            buffer = [(int(t), set(s.split(",")) if s else set())
+                      for t, s in zip(tis, cid_strs)]
+        else:
+            buffer = []
+        out = {k: list(v) for k, v in _EMPTY.items()}
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            for turn_idx, text in zip(pdf["turn_idx"], pdf["text"]):
+                ti = int(turn_idx)
+                concepts: set = set()
+                if text is not None and not (isinstance(text, float)
+                                             and pd.isna(text)):
+                    for trie in tries_local.values():
+                        for _, cid, _, _, _ in trie.scan_text(text):
+                            concepts.add(cid)
+                # pair the new turn against the buffered window (which,
+                # after this batch's earlier turns were appended, also
+                # covers new-vs-new pairs)
+                for tj, cset in buffer:
+                    if ti - tj > cooc_window:
+                        continue
+                    for ca in cset:
+                        for cb in concepts:
+                            if ca == cb:
+                                continue
+                            lo, hi = (ca, cb) if ca < cb else (cb, ca)
+                            out["conv_id"].append(conv_id)
+                            out["ta"].append(min(tj, ti))
+                            out["tb"].append(max(tj, ti))
+                            out["ca"].append(lo)
+                            out["cb"].append(hi)
+                # same-turn distinct-concept pairs
+                cl = sorted(concepts)
+                for i in range(len(cl)):
+                    for j in range(i + 1, len(cl)):
+                        out["conv_id"].append(conv_id)
+                        out["ta"].append(ti)
+                        out["tb"].append(ti)
+                        out["ca"].append(cl[i])
+                        out["cb"].append(cl[j])
+                buffer.append((ti, concepts))
+                max_ti = max(t for t, _ in buffer)
+                buffer = [(t, s) for t, s in buffer
+                          if t >= max_ti - cooc_window]
+        state.update((
+            [t for t, _ in buffer],
+            [",".join(sorted(s)) for _, s in buffer],
+        ))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(out)
+
+    return (
+        transcript_stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            per_conv, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_timeout_ms is not None else GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_mention_counts(
     mentions_stream: DataFrame,
     window_duration: str = "10 minutes",

@@ -133,3 +133,45 @@ def test_stream_detect_incremental(spark, tmp_path):
     rows = spark.read.parquet(out_dir)
     assert rows.count() > first
     assert rows.filter("conv_id = 'c1'").count() == first  # no reprocessing
+
+
+def test_stream_conv_pairs_stateful(spark, tmp_path):
+    """applyInPandasWithState: the per-conversation buffer finds pairs that
+    straddle a micro-batch boundary exactly once."""
+    from kgpipe.detect import build_dictionary_df
+    from kgpipe.streaming import stream_conv_pairs, stream_transcripts
+
+    in_dir = tmp_path / "sin"
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    in_dir.mkdir()
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    # batch 1: turn 0 mentions neuron; batch 2: turn 1 mentions fibroblast
+    spark.createDataFrame(
+        [("c1", 0, "user", "a neuron appears", None, None)], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(
+        [("c1", 1, "user", "then a fibroblast arrives", None, None)], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b2"))
+    d = build_dictionary_df(spark, {"CL": MINI_OBO})
+
+    stream = spark.readStream.schema(
+        stream_transcripts(spark, str(in_dir / "*")).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(in_dir / "*"))
+    pairs = stream_conv_pairs(stream, d, cooc_window=3)
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r.conv_id, r.ta, r.tb, r.ca, r.cb)
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    # the cross-batch pair (turn 0 neuron, turn 1 fibroblast), exactly once
+    assert got.count(("c1", 0, 1, "CL:0000057", "CL:0000540")) == 1
