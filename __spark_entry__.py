@@ -616,6 +616,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return lsh_topk(e, queries_df, dim=64, k=5, n_planes=8, n_tables=4)
 
+    def q_ivf_topk(spark, sf_dir):
+        from kgpipe.similarity import ivf_topk
+
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries_df = e.filter(F.col("vec_id") < 5).selectExpr(
+            "vec_id as q_id", "embedding as q_vec"
+        )
+        return ivf_topk(e, queries_df, k=5, n_centroids=16, n_probe=4)
+
     def q_media_features(spark, sf_dir):
         from kgpipe.multimodal import extract_features
 
@@ -664,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "kg_triples": q_kg_triples,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
     }
 

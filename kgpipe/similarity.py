@@ -149,6 +149,82 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantization + probed re-rank.
+
+    Centroids are ``n_centroids`` corpus vectors sampled by deterministic
+    id-order stride (no k-means fit stage — at 100 TB you would train
+    centroids offline and broadcast them; the plan shape is identical).
+    Every vector is assigned to its nearest centroid (one narrow pass,
+    broadcast centroid literals, JVM column math); each query probes its
+    ``n_probe`` nearest centroids and re-ranks candidates exactly.  The
+    candidate join is an equi-join on centroid id, so the corpus side
+    prunes to probed cells instead of scanning — recall grows with
+    ``n_probe`` (``n_probe == n_centroids`` ≡ exact brute force).
+    """
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    n_corpus = v.count()
+    stride = max(n_corpus // n_centroids, 1)
+    w_all = Window.orderBy("vec_id")
+    cent_rows = (
+        v.withColumn("__rn", F.row_number().over(w_all) - 1)
+        .filter((F.col("__rn") % stride == 0))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
+
+    def nearest_exprs(vec):
+        """(best_centroid_id, [(cid, cosine)]) as column exprs.  The argmax
+        is array_max over (sim, cid) structs — linear expression size (a
+        chained when/otherwise argmax duplicates the subtree per level:
+        2^n_centroids nodes, which stalls Catalyst at n_centroids ≥ 16)."""
+        sims = [
+            (cid, cosine_col(vec, F.array(*[F.lit(float(x)) for x in cvec])))
+            for cid, cvec in centroids
+        ]
+        pairs = F.array(*[
+            F.struct(s.alias("s"), F.lit(cid).alias("c")) for cid, s in sims
+        ])
+        return F.array_max(pairs)["c"], sims
+
+    v_best, _ = nearest_exprs(F.col("v"))
+    assigned = v.select("vec_id", "v", v_best.alias("cell"))
+
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"))
+    _, q_sims = nearest_exprs(F.col("q"))
+    probe_arr = F.array(*[
+        F.struct(s.alias("s"), F.lit(cid).alias("c")) for cid, s in q_sims
+    ])
+    probes = F.slice(F.array_sort(
+        probe_arr, lambda a, b: F.when(a["s"] > b["s"], -1)
+        .when(a["s"] < b["s"], 1).otherwise(0)
+    ), 1, n_probe)
+    q_cells = q.select(
+        "q_id", "q", F.explode(F.transform(probes, lambda p: p["c"])).alias("cell")
+    )
+
+    cand = assigned.join(F.broadcast(q_cells), "cell").select(
+        "q_id", "vec_id", cosine_col(F.col("q"), F.col("v")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def pairwise_cosine_dedup(
     vectors: DataFrame,
     dim: int,

@@ -40,3 +40,30 @@ def test_pairwise_cosine_dedup(spark):
     pairs = {(r.vec_a, r.vec_b) for r in
              pairwise_cosine_dedup(vecs, dim=8, threshold=0.999).collect()}
     assert (0, 999) in pairs
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    from pyspark.sql import functions as F
+
+    from kgpipe.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 4).selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(e, q, k=5).collect()}
+
+    # full probe == brute force
+    full = {(r.q_id, r.vec_id)
+            for r in ivf_topk(e, q, k=5, n_centroids=8, n_probe=8).collect()}
+    assert full == exact
+
+    # partial probe: the query's own cell is always probed, so the query
+    # vector itself (cosine 1.0) is found; recall is substantial
+    part = {(r.q_id, r.vec_id)
+            for r in ivf_topk(e, q, k=5, n_centroids=8, n_probe=3).collect()}
+    for qid in range(4):
+        assert (qid, qid) in part
+    assert len(part & exact) >= len(exact) // 2
