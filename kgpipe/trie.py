@@ -115,9 +115,30 @@ class DictionaryTrie:
                 raise ValueError(cfg.search_strategy)
         return out
 
+    def _lookup_sorted_window(self, toks, i, length):
+        """OrderIndependentLookup: the window's tokens sorted, walked through
+        the trie (variants are indexed under their sorted sequence too, so a
+        permuted surface form meets its variant on the sorted key)."""
+        node = self.root
+        for t in sorted(toks[i:i + length]):
+            node = node.get(t)
+            if node is None:
+                return None
+        return node.get(_END)
+
     def _scan_contiguous(self, text, toks, begins, ends, out) -> None:
         n = len(toks)
         find_all = self.config.find_all_matches
+        order_ind = self.config.order_independent
+        emitted: set = set()  # find_all: in-order + sorted-window can
+        # surface the same (concept, span) twice; emit once
+
+        def emit_once(ont, cid, b, e):
+            key = (ont, cid, b, e)
+            if key not in emitted:
+                emitted.add(key)
+                out.append((ont, cid, b, e, text[b:e]))
+
         i = 0
         while i < n:
             node = self.root
@@ -134,10 +155,21 @@ class DictionaryTrie:
                     best_payload = payload
                     if find_all:
                         for ont, cid in payload:
-                            out.append(
-                                (ont, cid, begins[i], ends[j], text[begins[i]:ends[j]])
-                            )
+                            emit_once(ont, cid, begins[i], ends[j])
                 j += 1
+            if order_ind:
+                # permuted multi-token windows, longest wins over in-order
+                for length in range(2, min(self.max_len, n - i) + 1):
+                    payload = self._lookup_sorted_window(toks, i, length)
+                    if payload is None:
+                        continue
+                    j = i + length - 1
+                    if find_all:
+                        for ont, cid in payload:
+                            emit_once(ont, cid, begins[i], ends[j])
+                    if j > best_j:
+                        best_j = j
+                        best_payload = payload
             if best_j >= 0:
                 if not find_all:
                     for ont, cid in best_payload:
