@@ -616,6 +616,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return lsh_topk(e, queries_df, dim=64, k=5, n_planes=8, n_tables=4)
 
+    def q_embedding_disambig(spark, sf_dir):
+        from kgpipe.disambig import embedding_disambiguate
+
+        m = _mentions(spark, sf_dir)
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        # deterministic context embeddings per turn / per concept, derived
+        # from the embeddings table so both sides are corpus data
+        turn_emb = (
+            m.select("conv_id", "turn_idx").distinct()
+            .join(e, (F.pmod(F.col("turn_idx"), F.lit(500)) == F.col("vec_id")))
+            .select("conv_id", "turn_idx", F.col("embedding").alias("ctx_emb"))
+        )
+        concept_emb = e.filter(F.col("vec_id") < 5).select(
+            F.concat(F.lit("T:000"), (F.col("vec_id") + 1).cast("string"))
+            .alias("concept_id"),
+            F.col("embedding").alias("con_emb"),
+        )
+        return embedding_disambiguate(m, turn_emb, concept_emb).select(
+            "conv_id", "turn_idx", "concept_id", "begin", "end"
+        )
+
     def q_ivf_topk(spark, sf_dir):
         from kgpipe.similarity import ivf_topk
 
@@ -676,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "embedding_disambig": q_embedding_disambig,
         "media_features": q_media_features,
     }
 
