@@ -123,6 +123,115 @@ def run_grid(
     return out
 
 
+def run_grid_fused(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    obo_paths: dict[str, str],
+    gold: DataFrame,
+    ontology: str = "CL",
+    indices: Optional[Iterable[int]] = None,
+    span: str = "STRICT",
+) -> DataFrame:
+    """ALL permutations in ONE job — the Spark-first answer to the
+    reference's 577 serial full-corpus evaluations
+    (``RunConceptMapperCraftEvals.java:45``).
+
+    Every permutation's trie is built driver-side from one OBO parse and
+    broadcast together; a single ``mapInPandas`` pass scans each turn once
+    per permutation, emitting a ``param_idx`` column; STRICT evaluation
+    then reduces to one dedup + one join + two aggregations over the whole
+    param space.  The corpus is read and shuffled once, not
+    |grid| times — at 577 permutations that is the difference between one
+    cluster job and a day of serial reruns.
+
+    Returns one row per param index: ``(param_idx, params, tp, fp, fn,
+    precision, recall, f1)``.  STRICT span only (the grid compiler's
+    comparison mode); other comparators go through ``run_grid``.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .obo import dictionary_rows, parse_obo
+    from .trie import DictionaryTrie
+
+    if span != "STRICT":
+        raise ValueError("run_grid_fused evaluates STRICT span only")
+    grid = param_grid()
+    chosen = list(indices) if indices is not None else list(range(len(grid)))
+    terms = parse_obo(obo_paths[ontology])
+    tries = {}
+    for i in chosen:
+        cfg = grid[i]
+        rows = dictionary_rows(terms, ontology, cfg)
+        tries[i] = DictionaryTrie.from_rows(rows, cfg)
+    bc = spark.sparkContext.broadcast(tries)
+
+    def scan(batches):
+        tries_local = bc.value
+        for pdf in batches:
+            out = {"param_idx": [], "conv_id": [], "turn_idx": [],
+                   "concept_id": [], "begin": [], "end": []}
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                if text is None:
+                    continue
+                ti = int(turn_idx)
+                for idx, trie in tries_local.items():
+                    seen = set()
+                    for _, cid, b, e, _cov in trie.scan_text(text):
+                        key = (cid, b, e)
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        out["param_idx"].append(idx)
+                        out["conv_id"].append(conv_id)
+                        out["turn_idx"].append(ti)
+                        out["concept_id"].append(cid)
+                        out["begin"].append(b)
+                        out["end"].append(e)
+            yield pd.DataFrame(out)
+
+    keys = ["conv_id", "turn_idx", "concept_id", "begin", "end"]
+    mentions = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .mapInPandas(scan, schema=("param_idx int, conv_id string,"
+                                   " turn_idx int, concept_id string,"
+                                   " begin int, end int"))
+    )
+    g = gold.select(*keys).dropDuplicates(keys)
+    n_gold = g.count()
+    per_idx = (
+        mentions.join(g.withColumn("__hit", F.lit(1)), keys, "left")
+        .groupBy("param_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("tp"),
+        )
+        .select(
+            "param_idx",
+            F.col("tp").cast("long").alias("tp"),
+            (F.col("n_mentions") - F.col("tp")).cast("long").alias("fp"),
+            (F.lit(n_gold) - F.col("tp")).cast("long").alias("fn"),
+        )
+    )
+    rows = {r["param_idx"]: r for r in per_idx.collect()}
+    out = []
+    for i in chosen:  # param combos that detect nothing still get a row
+        r = rows.get(i)
+        tp = int(r["tp"]) if r else 0
+        fp = int(r["fp"]) if r else 0
+        fn = int(r["fn"]) if r else n_gold
+        gr = GridResult(i, param_string(grid[i]), tp, fp, fn)
+        out.append((i, gr.params, tp, fp, fn, round(gr.precision, 6),
+                    round(gr.recall, 6), round(gr.f1, 6)))
+    return spark.createDataFrame(
+        out,
+        "param_idx int, params string, tp long, fp long, fn long,"
+        " precision double, recall double, f1 double",
+    )
+
+
 def compile_results(spark: SparkSession, results: list[GridResult]) -> DataFrame:
     """One row per param index with P/R/F — the output-compiler analogue."""
     rows = [

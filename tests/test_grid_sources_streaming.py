@@ -175,3 +175,40 @@ def test_stream_conv_pairs_stateful(spark, tmp_path):
     ]
     # the cross-batch pair (turn 0 neuron, turn 1 fibroblast), exactly once
     assert got.count(("c1", 0, 1, "CL:0000057", "CL:0000540")) == 1
+
+
+def test_run_grid_fused_matches_serial(spark):
+    """The one-job fused sweep must produce identical TP/FP/FN per
+    permutation as the serial per-index loop."""
+    from kgpipe.grid import run_grid_fused
+
+    rows = [
+        ("c1", 0, "user", "the neuron and another cell", None, None),
+        ("c1", 1, "user", "Neurons fire; the interneuron waits.", None, None),
+        ("c2", 0, "tool", "a fibroblast, then a neuron", None, None),
+    ]
+    tdf = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    gold = spark.createDataFrame(
+        [
+            ("c1", 0, "CL:0000540", 4, 10),
+            ("c1", 1, "CL:0000540", 0, 7),
+            ("c2", 0, "CL:0000057", 2, 12),
+        ],
+        "conv_id string, turn_idx int, concept_id string, begin int, end int",
+    )
+    indices = [0, 7, 63, 200, 575]
+    serial = {
+        r.index: (r.tp, r.fp, r.fn)
+        for r in run_grid(spark, tdf, {"CL": MINI_OBO}, gold, "CL",
+                          indices=indices)
+    }
+    fused = {
+        r.param_idx: (r.tp, r.fp, r.fn)
+        for r in run_grid_fused(spark, tdf, {"CL": MINI_OBO}, gold, "CL",
+                                indices=indices).collect()
+    }
+    assert fused == serial
