@@ -7,10 +7,11 @@ obsolete/replaced_by side driver-side during dictionary builds
 (``ConceptMapperDictionaryFileFactory`` via OntologyUtil); shared-synonym
 merging is our scale extension for entity canonicalization.
 
-Algorithm: iterative min-label propagation over the edge DataFrame —
-each round every node adopts the minimum label among itself and its
-neighbours; converges in O(log n) rounds for real synonym graphs (diameter
-is tiny).  ``localCheckpoint`` every round cuts the lineage chain so plans
+Algorithm: iterative min-label propagation over the edge DataFrame with a
+**pointer-jumping** step each round (every node then adopts its label's
+label — path doubling), so convergence is O(log diameter) rounds rather
+than O(diameter): a 10^6-node chain resolves in ~20 rounds instead of
+10^6.  ``localCheckpoint`` every round cuts the lineage chain so plans
 don't grow exponentially (SURVEY.md §7 hard parts).  No GraphFrames
 dependency.
 """
@@ -46,11 +47,28 @@ def connected_components(
             sym.join(labels, sym["b"] == labels["node"])
             .select(F.col("a").alias("node"), F.col("component"))
         )
-        new_labels = (
+        hop = (
             labels.select("node", "component")
             .union(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: adopt the label's own label (path doubling).
+        # label(x) is reachable from x and labels only shrink toward the
+        # component min, so composing labels stays inside the component
+        # while halving the remaining chain length each round.
+        jump = hop.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("jumped"),
+        )
+        new_labels = (
+            hop.join(jump, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("jumped", "component")
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

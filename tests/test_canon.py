@@ -54,3 +54,19 @@ def test_synonym_edges_star_topology(spark):
     edges = synonym_edges(dictionary).collect()
     assert len(edges) == 4  # star: n-1 edges, not n*(n-1)/2
     assert all(e.src == "O:0" for e in edges)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping (path doubling): a 100-node chain resolves within
+    max_iter=12 rounds (~log2 diameter), where plain one-hop min-label
+    propagation would need ~100."""
+    from kgpipe.canon import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"N{i:03d}", f"N{i+1:03d}") for i in range(99)],
+        "src string, dst string",
+    )
+    got = {r.node: r.component
+           for r in connected_components(edges, max_iter=12).collect()}
+    assert len(got) == 100
+    assert set(got.values()) == {"N000"}
