@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import schemas
 from .normalize import MatchConfig, config_for
-from .obo import parse_obo, dictionary_rows
+from .obo import dictionary_rows, parse_ontology
 from .trie import DictionaryTrie
 
 
@@ -36,13 +36,14 @@ def build_dictionary_df(
     obo_paths: dict[str, str],
     configs: Optional[dict[str, MatchConfig]] = None,
 ) -> DataFrame:
-    """Parse OBO files into one dictionary DataFrame (driver-side build with
-    per-namespace modifiers, mirroring
-    ``ConceptMapperDictionaryFileFactory.java:267-284``)."""
+    """Parse OBO/OWL files into one dictionary DataFrame (driver-side build
+    with per-namespace modifiers, mirroring
+    ``ConceptMapperDictionaryFileFactory.java:267-284``; format dispatch by
+    extension like the reference's OWLAPI load)."""
     all_rows: list[dict] = []
     for ontology, path in sorted(obo_paths.items()):
         cfg = (configs or {}).get(ontology) or config_for(ontology)
-        all_rows.extend(dictionary_rows(parse_obo(path), ontology, cfg))
+        all_rows.extend(dictionary_rows(parse_ontology(path), ontology, cfg))
     return spark.createDataFrame(all_rows, schema=schemas.DICTIONARY)
 
 

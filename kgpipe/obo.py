@@ -90,6 +90,93 @@ def parse_obo(path_or_text: str, from_text: bool = False) -> list[Term]:
     return terms
 
 
+_OWL_NS = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "oio": "http://www.geneontology.org/formats/oboInOwl#",
+    "obo": "http://purl.obolibrary.org/obo/",
+}
+_SYN_SCOPE_TAGS = {
+    "hasExactSynonym": "EXACT",
+    "hasRelatedSynonym": "RELATED",
+    "hasBroadSynonym": "BROAD",
+    "hasNarrowSynonym": "NARROW",
+}
+
+
+def _curie(uri: str) -> str:
+    """OBO PURL → CURIE (``…/obo/CL_0000540`` → ``CL:0000540``); non-OBO
+    IRIs pass through verbatim (the UriFactory passthrough rule)."""
+    if uri.startswith(OBO_URI_PREFIX):
+        frag = uri[len(OBO_URI_PREFIX):]
+        if "_" in frag:
+            pfx, local = frag.split("_", 1)
+            return f"{pfx}:{local}"
+    return uri
+
+
+def parse_owl(path_or_text: str, from_text: bool = False) -> list[Term]:
+    """Parse an OBO-in-OWL RDF/XML ontology into the same ``Term`` records
+    as ``parse_obo`` — the reference accepts both formats through OWLAPI
+    (``ConceptMapperDictionaryFileFactory.java:269`` throws
+    ``OWLOntologyCreationException``).  Consumes the OBO-in-OWL vocabulary:
+    ``rdfs:label``, ``oboInOwl:has{Exact,Related,Broad,Narrow}Synonym``,
+    ``oboInOwl:hasOBONamespace``, direct ``rdfs:subClassOf`` resources
+    (is_a; anonymous restrictions skipped), ``owl:deprecated``,
+    ``obo:IAO_0100001`` (term-replaced-by), ``oboInOwl:consider`` and
+    ``oboInOwl:hasDbXref``."""
+    import xml.etree.ElementTree as ET
+
+    root = (ET.fromstring(path_or_text) if from_text
+            else ET.parse(path_or_text).getroot())
+    rdf_about = f"{{{_OWL_NS['rdf']}}}about"
+    rdf_resource = f"{{{_OWL_NS['rdf']}}}resource"
+    terms: list[Term] = []
+    for cls in root.iter(f"{{{_OWL_NS['owl']}}}Class"):
+        about = cls.get(rdf_about)
+        if not about:
+            continue  # anonymous class (restriction operand)
+        t = Term(id=_curie(about))
+        for child in cls:
+            tag_ns, _, tag = child.tag.rpartition("}")
+            tag_ns = tag_ns.lstrip("{")
+            text = (child.text or "").strip()
+            res = child.get(rdf_resource)
+            if tag == "label" and tag_ns == _OWL_NS["rdfs"]:
+                t.name = text
+            elif tag_ns == _OWL_NS["oio"] and tag in _SYN_SCOPE_TAGS:
+                if text:
+                    t.synonyms.append((text, _SYN_SCOPE_TAGS[tag]))
+            elif tag == "hasOBONamespace" and tag_ns == _OWL_NS["oio"]:
+                t.namespace = text
+            elif tag == "subClassOf" and tag_ns == _OWL_NS["rdfs"] and res:
+                t.is_a.append(_curie(res))
+            elif tag == "deprecated" and tag_ns == _OWL_NS["owl"]:
+                t.is_obsolete = text.lower() == "true"
+            elif tag == "IAO_0100001" and tag_ns == _OWL_NS["obo"]:
+                if res:
+                    t.replaced_by = _curie(res)
+                elif text:
+                    t.replaced_by = text
+            elif tag == "consider" and tag_ns == _OWL_NS["oio"]:
+                if text:
+                    t.consider.append(text)
+            elif tag == "hasDbXref" and tag_ns == _OWL_NS["oio"]:
+                if text:
+                    t.xrefs.append(text)
+        if t.id:
+            terms.append(t)
+    return terms
+
+
+def parse_ontology(path: str) -> list[Term]:
+    """Format dispatch: ``.owl`` → RDF/XML parser, anything else → OBO."""
+    if path.endswith(".owl"):
+        return parse_owl(path)
+    return parse_obo(path)
+
+
 # ---------------------------------------------------------------------------
 # Dictionary entry modifiers — the reference's pluggable
 # ``DictionaryEntryModifier.modifyConcept(Concept) -> Concept|null`` contract

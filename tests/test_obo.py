@@ -79,3 +79,51 @@ def test_subtree_closure():
     # neuron -> interneuron -> amacrine cell
     assert closure == {"CL:0000540", "CL:0000099", "CL:0000561"}
     assert "CL:0000000" not in closure
+
+
+def test_parse_owl_matches_term_model():
+    """OWL (RDF/XML, OBO-in-OWL vocabulary) parses into the same Term
+    records the OBO parser yields (ConceptMapperDictionaryFileFactory
+    accepts both via OWLAPI)."""
+    import os
+
+    from kgpipe.obo import parse_ontology, parse_owl
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "mini.owl")
+    terms = {t.id: t for t in parse_owl(path)}
+    assert set(terms) == {"CL:0000000", "CL:0000540", "CL:0000099",
+                          "CL:0009999"}
+    n = terms["CL:0000540"]
+    assert n.name == "neuron"
+    assert ("nerve cell", "EXACT") in n.synonyms
+    assert ("neuronal cell", "RELATED") in n.synonyms
+    assert n.is_a == ["CL:0000000"]
+    assert n.xrefs == ["FMA:54527"]
+    assert n.namespace == "cell"
+    # anonymous restriction subClassOf is skipped, named parent kept
+    assert terms["CL:0000099"].is_a == ["CL:0000540"]
+    ghost = terms["CL:0009999"]
+    assert ghost.is_obsolete and ghost.replaced_by == "CL:0000540"
+    # dispatch helper picks the OWL parser by extension
+    assert {t.id for t in parse_ontology(path)} == set(terms)
+
+
+def test_owl_dictionary_detects_like_obo(spark):
+    """An OWL-built dictionary drives the same detection path."""
+    import os
+
+    from kgpipe.detect import build_dictionary_df, detect_mentions
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "mini.owl")
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user", "a neuron and a nerve cell appear", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    d = build_dictionary_df(spark, {"CL": path})
+    got = {(r.concept_id, r.covered_text)
+           for r in detect_mentions(tdf, d).collect()}
+    assert ("CL:0000540", "neuron") in got
+    assert ("CL:0000540", "nerve cell") in got
