@@ -616,6 +616,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return lsh_topk(e, queries_df, dim=64, k=5, n_planes=8, n_tables=4)
 
+    def q_frame_sample(spark, sf_dir):
+        from kgpipe.multimodal import frame_sample_plan
+
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("video"))
+            .otherwise(F.lit("image")).alias("modality"),
+            F.lit(None).cast("binary").alias("payload"),
+            F.create_map(
+                F.lit("n_frames"), (F.col("doc_id") % 50 + 1).cast("string")
+            ).alias("meta"),
+        )
+        return frame_sample_plan(media, every_n=10)
+
     def q_embedding_disambig(spark, sf_dir):
         from kgpipe.disambig import embedding_disambiguate
 
@@ -700,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_disambig": q_embedding_disambig,
+        "frame_sample": q_frame_sample,
         "media_features": q_media_features,
     }
 
@@ -985,6 +1000,16 @@ SELECT '<https://kg.example.org/conv/' || conv_id || '#t'
     || '> <http://purl.org/kgpipe/denotes> <http://purl.obolibrary.org/obo/'
     || replace(concept_id, ':', '_') || '> .' AS value
 FROM mentions""",
+        "frame_sample": """
+WITH m AS (
+  SELECT doc_id::varchar AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'video' ELSE 'image' END AS modality,
+         (doc_id % 50 + 1)::int AS n_frames
+  FROM documents)
+SELECT media_id,
+       unnest(generate_series(0, greatest(n_frames - 1, 0), 10))::int
+         AS frame_idx
+FROM m WHERE modality = 'video'""",
         "simhash_near_dup": _simhash_near_dup_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
         "revenue_by_segment": """
