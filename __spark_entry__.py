@@ -353,6 +353,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select("conv_id", "turn_idx", "concept_id", "begin",
                            "end", "covered_text")
 
+    def q_mayla_nofreq(spark, sf_dir):
+        # synthetic case variance (corpus is all-lowercase): every 5th
+        # begin-offset mention becomes an acronym, every 3rd capitalized —
+        # the no-freq Mayla mode keeps exactly those (acronym/capitalized
+        # rule, MaylaPostProcessingComponent.java:117-118)
+        m = _mentions(spark, sf_dir).withColumn(
+            "covered_text",
+            F.when(F.col("begin") % 5 == 0, F.upper("covered_text"))
+            .when(
+                F.col("begin") % 3 == 0,
+                F.concat(
+                    F.upper(F.substring("covered_text", 1, 1)),
+                    F.expr("substring(covered_text, 2)"),
+                ),
+            )
+            .otherwise(F.col("covered_text")),
+        ).withColumn("ontology", F.lit("TECH")).withColumn(
+            "error", F.lit(None).cast("string")
+        )
+        kept = mayla_filter(
+            m, _transcripts(spark, sf_dir), _tech_dictionary(spark),
+            concept_freq=None,
+        )
+        return kept.select("conv_id", "turn_idx", "concept_id", "begin",
+                           "end", "covered_text")
+
     def q_tfidf_support(spark, sf_dir):
         return tfidf_scores(_mentions(spark, sf_dir), exact=True).select(
             "conv_id", "concept_id", "tf", "df"
@@ -684,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_strict": q_eval_strict,
         "eval_summary": q_eval_summary,
         "mayla_freq": q_mayla_freq,
+        "mayla_nofreq": q_mayla_nofreq,
         "tfidf_support": q_tfidf_support,
         "connected_components": q_connected_components,
         "dedup_exact": q_dedup_exact,
@@ -806,6 +833,20 @@ FROM joined
 WHERE ((length(text) - length(replace(text, covered_text, '')))
         / length(covered_text))::int >= 2
    OR covered_text = label""",
+        "mayla_nofreq": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+cased AS (
+  SELECT conv_id, turn_idx, concept_id, begin, "end",
+         CASE WHEN begin % 5 = 0 THEN upper(covered_text)
+              WHEN begin % 3 = 0 THEN upper(substr(covered_text, 1, 1))
+                                       || substr(covered_text, 2)
+              ELSE covered_text END AS covered_text
+  FROM mentions)
+SELECT conv_id, turn_idx, concept_id, begin, "end", covered_text
+FROM cased
+WHERE (covered_text = upper(covered_text)
+       AND lower(covered_text) <> covered_text)
+   OR regexp_matches(substr(covered_text, 1, 1), '[A-Z]')""",
         "tfidf_support": f"""
 WITH {_SQL_MENTIONS.lstrip()},
 tf AS (SELECT conv_id, concept_id, count(*) AS tf
