@@ -302,6 +302,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return cooccurrence_pairs(_mentions(spark, sf_dir), window=3)
 
+    def q_cooc_stats(spark, sf_dir):
+        from kgpipe.triples import cooccurrence_stats
+
+        return cooccurrence_stats(_mentions(spark, sf_dir), window=3)
+
     def q_resume_outstanding(spark, sf_dir):
         import datetime as dt
 
@@ -705,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_detect": q_mention_detect,
         "mention_count_per_turn": q_mention_count_per_turn,
         "cooccurrence": q_cooccurrence,
+        "cooc_stats": q_cooc_stats,
         "resume_outstanding": q_resume_outstanding,
         "runs_map": q_runs_map,
         "eval_strict": q_eval_strict,
@@ -773,6 +779,21 @@ FROM mentions a JOIN mentions b
  AND abs(a.turn_idx - b.turn_idx) <= 3
  AND a.concept_id < b.concept_id
 GROUP BY a.conv_id, a.concept_id, b.concept_id""",
+        "cooc_stats": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+pairs AS (
+  SELECT a.concept_id AS ca, b.concept_id AS cb, count(*) AS n_pair
+  FROM mentions a JOIN mentions b
+    ON a.conv_id = b.conv_id
+   AND abs(a.turn_idx - b.turn_idx) <= 3
+   AND a.concept_id < b.concept_id
+  GROUP BY a.concept_id, b.concept_id
+),
+marg AS (SELECT concept_id AS c, count(*) AS n_c FROM mentions GROUP BY concept_id)
+SELECT p.ca, p.cb, p.n_pair, ma.n_c AS n_a, mb.n_c AS n_b
+FROM pairs p
+JOIN marg ma ON p.ca = ma.c
+JOIN marg mb ON p.cb = mb.c""",
         "resume_outstanding": """
 SELECT doc_id, (doc_id % 16)::int AS partition_id
 FROM documents WHERE (doc_id % 16) >= 8""",

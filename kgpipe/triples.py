@@ -151,6 +151,40 @@ def cooccurrence_pairs(
     )
 
 
+def cooccurrence_stats(
+    mentions: DataFrame,
+    window: int = 3,
+    concept_col: str = "concept_id",
+) -> DataFrame:
+    """Corpus-level co-occurrence statistics for edge weighting:
+    ``(ca, cb, n_pair, n_a, n_b)`` — pair counts summed over all
+    conversations plus each concept's total mention count (the integer
+    inputs to PMI/log-likelihood scoring; the caller applies
+    ``log(n_pair * N / (n_a * n_b))`` driver- or column-side so the heavy
+    lifting stays in exact integer aggregations).
+
+    Two aggregations over the banded pair join plus one broadcast-joined
+    marginal count — no floats, no extra corpus scan.
+    """
+    pairs = (
+        cooccurrence_pairs(mentions, window, concept_col)
+        .groupBy("ca", "cb")
+        .agg(F.sum("n").alias("n_pair"))
+    )
+    marg = mentions.groupBy(F.col(concept_col).alias("c")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    return (
+        pairs.join(F.broadcast(marg.withColumnRenamed("c", "ca")
+                               .withColumnRenamed("n_c", "n_a")), "ca")
+        .join(F.broadcast(marg.withColumnRenamed("c", "cb")
+                          .withColumnRenamed("n_c", "n_b")), "cb")
+        .select("ca", "cb", F.col("n_pair").cast("long").alias("n_pair"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"))
+    )
+
+
 def cooccurrence_triples(
     mentions: DataFrame,
     window: int = 3,
