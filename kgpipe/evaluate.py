@@ -115,3 +115,63 @@ def format_summary_line(tp: int, fp: int, fn: int) -> str:
     r = tp / (tp + fn) if tp + fn else 0.0
     f = 2 * p * r / (p + r) if p + r else 0.0
     return f"Evaluation Set\t{tp}\t{fp}\t{fn}\tP={p}\tR={r}\tF={f}"
+
+
+def main(argv=None) -> None:
+    """Evaluation entry point — the ``CraftRunGenericComparison.main`` /
+    ``CraftConceptMapperEvaluatorMain`` analogue (SURVEY.md §3.3): compare
+    a gold annotation set against an evaluation set under a configurable
+    span comparator, write per-document TP/FP/FN rows (parquet) and the
+    reference-format corpus summary line.
+
+    Inputs are parquet mention tables with columns
+    ``(conv_id, turn_idx, concept_id, begin, end)`` or generic-annotation
+    TSVs (``concept_id\\tcovered_text\\tbegin\\tend[\\tscore]``,
+    ``GenericAnnotationLoader`` format) with an optional score cutoff.
+    """
+    import argparse
+
+    from .serde import load_generic_annotations
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description="kgpipe annotation evaluation")
+    ap.add_argument("--gold", required=True, help="parquet path or .tsv")
+    ap.add_argument("--eval", dest="eval_path", required=True,
+                    help="parquet path or .tsv")
+    ap.add_argument("--span", default=STRICT,
+                    choices=[STRICT, OVERLAP, SHARED_START, SHARED_END,
+                             SHARED_START_OR_END, SUB_SPAN, IGNORE_SPAN])
+    ap.add_argument("--score-cutoff", type=int, default=None,
+                    help="TSV inputs only: keep score >= cutoff")
+    ap.add_argument("--out", required=True,
+                    help="output dir (outcomes parquet + summary.txt)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark("kgpipe-eval", master=args.master)
+
+    def load(path):
+        if path.endswith(".tsv"):
+            df = load_generic_annotations(spark, path, args.score_cutoff)
+            return df.select(
+                F.lit("doc").alias("conv_id"), F.lit(0).alias("turn_idx"),
+                "concept_id", "begin", "end",
+            )
+        return spark.read.parquet(path)
+
+    outcomes = compare(load(args.gold), load(args.eval_path), span=args.span)
+    outcomes.write.mode("overwrite").parquet(f"{args.out}/outcomes")
+    s = summary(outcomes).first()
+    line = format_summary_line(s["tp"] or 0, s["fp"] or 0, s["fn"] or 0)
+    with open(f"{args.out}/summary.txt", "w", encoding="utf-8") as f:
+        f.write(line + "\n")
+    print(line)
+    if existing is None:  # only stop a session this entry point created
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,3 +76,24 @@ def test_per_document_and_format(spark):
     assert per_doc["d2"] == (1, 0, 0)
     line = format_summary_line(4362, 2528, 1411)
     assert line.startswith("Evaluation Set\t4362\t2528\t1411\tP=0.633")
+
+
+def test_evaluate_cli_summary_line(spark, tmp_path, capsys):
+    """python -m kgpipe.evaluate: the CraftRunGenericComparison.main
+    analogue writes outcomes parquet + the reference-format summary line."""
+    from kgpipe import evaluate as evmod
+
+    gold = [("c1", 0, "CL:0000540", 4, 10), ("c1", 1, "CL:0000540", 0, 7),
+            ("c1", 1, "CL:0000099", 18, 29)]
+    ev = [("c1", 0, "CL:0000540", 4, 10), ("c1", 1, "CL:0000003", 0, 7)]
+    schema = "conv_id string, turn_idx int, concept_id string, begin int, end int"
+    spark.createDataFrame(gold, schema).write.parquet(str(tmp_path / "gold"))
+    spark.createDataFrame(ev, schema).write.parquet(str(tmp_path / "eval"))
+    evmod.main([
+        "--gold", str(tmp_path / "gold"), "--eval", str(tmp_path / "eval"),
+        "--span", "STRICT", "--out", str(tmp_path / "out"),
+    ])
+    line = (tmp_path / "out" / "summary.txt").read_text().strip()
+    assert line.startswith("Evaluation Set\t1\t1\t2\tP=0.5")
+    n = spark.read.parquet(str(tmp_path / "out" / "outcomes")).count()
+    assert n == 4  # 1 TP + 2 FN + 1 FP
