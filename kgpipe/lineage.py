@@ -124,6 +124,15 @@ def run_with_lineage(
     lineage = read_lineage(spark, lineage_path)
     todo = outstanding(inputs, lineage, run_key)
 
+    # fully-resumed run: nothing OUTSTANDING → skip the whole pipeline
+    # (running the detect/disambig/write plans over an empty anti-join
+    # still costs seconds of empty-job overhead; one limit(1) probe
+    # makes repeat invocations near-free)
+    if todo.limit(1).count() == 0:
+        return spark.read.parquet(lineage_path).filter(
+            F.col("run_key") == run_key
+        )
+
     mentions, triples = pipeline_fn(todo.drop("partition_id"))
     mentions = with_bucket(mentions, n_buckets).cache()
     triples = triples.withColumn(
