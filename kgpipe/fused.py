@@ -32,7 +32,6 @@ from typing import Optional
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from . import schemas
 from .canon import components_from_rows
 from .detect import build_tries, collect_dictionary
 from .normalize import MatchConfig

@@ -13,7 +13,7 @@ dictionary builds, so it must be dependency-free and fast.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # ---------------------------------------------------------------------------
 # Tokenizer
