@@ -407,6 +407,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_exact(spark, sf_dir):
         return exact_duplicates(_doubled(spark, sf_dir))
 
+    def q_dedup_keep(spark, sf_dir):
+        from kgpipe.textops import dedup_exact
+
+        return dedup_exact(_doubled(spark, sf_dir)).select("doc_id")
+
     def q_minhash_pairs(spark, sf_dir):
         sub = _doubled(spark, sf_dir).filter((F.col("doc_id") % 100000) < 100)
         return minhash_lsh_pairs(sub, k=8, bands=4, jaccard_threshold=0.5)
@@ -720,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_support": q_tfidf_support,
         "connected_components": q_connected_components,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep": q_dedup_keep,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -893,6 +899,12 @@ SELECT n AS node, min(m) AS component FROM reach GROUP BY n""",
 WITH {_SQL_DOUBLED.lstrip()}
 SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_doc_id
 FROM doubled GROUP BY md5(text) HAVING count(*) > 1""",
+        "dedup_keep": f"""
+WITH {_SQL_DOUBLED.lstrip()},
+r AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM doubled)
+SELECT doc_id FROM r WHERE rn = 1""",
         "minhash_pairs": _minhash_sql(),
         "ngram_jaccard": f"""
 WITH {_SQL_DOUBLED.lstrip()},
