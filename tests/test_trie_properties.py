@@ -105,3 +105,65 @@ def test_order_independent_matches_permuted(pair):
     trie.add(f"{a} {b}", "T", "C:0001")
     hits = trie.scan_text(f"{b} {a}")
     assert any(cid == "C:0001" for _, cid, *_ in hits)
+
+
+def _feasible_last(toks, i, variant_toks, max_gap=1):
+    """Independent spec oracle for SKIP_ANY: the furthest-right end token
+    index of an embedding of variant_toks starting exactly at i, with at
+    most max_gap skipped tokens between consecutive variant tokens; None
+    if infeasible.  Exhaustive DP over positions."""
+    if not variant_toks or i >= len(toks) or toks[i] != variant_toks[0]:
+        return None
+    frontier = {i}
+    for v in variant_toks[1:]:
+        nxt = set()
+        for p in frontier:
+            for q in range(p + 1, min(len(toks), p + max_gap + 2)):
+                if toks[q] == v:
+                    nxt.add(q)
+        if not nxt:
+            return None
+        frontier = nxt
+    return max(frontier)
+
+
+@settings(max_examples=150, deadline=None)
+@given(d=dict_st, text=text_st)
+def test_skip_any_spans_match_spec_oracle(d, text):
+    """SKIP_ANY non-overlap: every reported span must be (start, best
+    feasible last) for its start; starts must follow the non-overlap
+    advancement; concepts must belong to a variant achieving that last."""
+    cfg = MatchConfig(
+        search_strategy="SKIP_ANY_MATCH", case_match="CASE_SENSITIVE",
+        stemmer="NONE", stopwords="NONE", order_independent=False,
+        find_all_matches=False, synonym_type="ALL",
+    )
+    variants = {v: f"C:{i:04d}" for v, i in d.items()}
+    trie = DictionaryTrie(cfg)
+    for v, cid in variants.items():
+        trie.add(v, "T", cid)
+
+    toks_off = tokenize_with_offsets(text)
+    toks = [t for t, _, _ in toks_off]
+
+    hits = trie.scan_text(text)
+    # recompute expected greedy-left scan from the spec
+    expected = []
+    i = 0
+    while i < len(toks):
+        lasts = {}
+        for v, cid in variants.items():
+            fl = _feasible_last(toks, i, v.split())
+            if fl is not None:
+                lasts.setdefault(fl, set()).add(cid)
+        if lasts:
+            best = max(lasts)
+            expected.append((toks_off[i][1], toks_off[best][2], lasts[best]))
+            i = best + 1
+        else:
+            i += 1
+    got = [(b, e, cid) for _, cid, b, e, _ in hits]
+    assert len(got) == len(expected), (got, expected)
+    for (b, e, cid), (eb, ee, cands) in zip(got, expected):
+        assert (b, e) == (eb, ee)
+        assert cid in cands
