@@ -64,8 +64,12 @@ def stream_detect(
             ):
                 if text is None:
                     continue
+                seen = set()  # turn-local dedup, same as batch detect
                 for trie in tries_local.values():
                     for ont, cid, b, e, cov in trie.scan_text(text):
+                        if (cid, b, e) in seen:
+                            continue
+                        seen.add((cid, b, e))
                         out["conv_id"].append(conv_id)
                         out["turn_idx"].append(int(turn_idx))
                         out["ontology"].append(ont)
