@@ -174,7 +174,12 @@ SELECT doc_id, ({_simhash_total(bits)})::bigint AS simhash FROM t
 
 
 def _simhash_near_dup_sql(bits: int = 16, max_hamming: int = 2) -> str:
-    half = 1 << (bits // 2)
+    from kgpipe.textops import simhash_segments
+
+    seg_conds = " OR ".join(
+        f"(a.sh // {1 << off}) % {1 << w} = (b.sh // {1 << off}) % {1 << w}"
+        for off, w in simhash_segments(bits, max_hamming)
+    )
     return f"""
 WITH {_SQL_DOUBLED.lstrip()},
 sub AS (SELECT doc_id, text FROM doubled WHERE (doc_id % 100000) < 200),
@@ -184,7 +189,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.sh, b.sh))::int AS hamming
 FROM s a JOIN s b
   ON a.doc_id < b.doc_id
- AND (a.sh % {half} = b.sh % {half} OR a.sh // {half} = b.sh // {half})
+ AND ({seg_conds})
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 

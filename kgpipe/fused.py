@@ -74,15 +74,18 @@ def fused_conv_triples(
     §7 "Skew"): when set (must be >= cooc_window), conversations are split
     into turn-index blocks of that size and the group key becomes
     (conv_id, block), so no single task ever holds more than ~2 blocks of
-    turns regardless of how hot a conversation is.  Co-occurrence parity
-    with the unsplit plan is exact: the first ``cooc_window`` turns of each
-    block are replicated into the previous block as *ghost* rows (they
+    turns regardless of how hot a conversation is.  With
+    ``disambiguate=False`` co-occurrence parity with the unsplit plan is
+    exact (test-asserted): the first ``cooc_window`` turns of each block
+    are replicated into the previous block as *ghost* rows (they
     contribute pair partners but no structure/denotes output), every pair
     is counted in the home block of its earlier turn, and the per-block
-    pair lists are deduplicated conversation-wide afterwards.  Only the
-    conversation-local TF used for span disambiguation becomes
-    block-local — at this setting corpus-level scoring belongs to the
-    staged path anyway (see trade-offs above).
+    pair lists are deduplicated conversation-wide afterwards.  With
+    ``disambiguate=True`` the TF table is block-local, so a span-ambiguous
+    GHOST mention may resolve differently in its ghost block than in its
+    home block and boundary pairs can diverge from the unsplit plan —
+    corpus/conversation-level scoring belongs to the staged path (see
+    trade-offs above).
     """
     spark = transcripts.sparkSession
     rows = collect_dictionary(dictionary)
@@ -114,8 +117,12 @@ def fused_conv_triples(
         conv_id = pdf["conv_id"].iloc[0]
         block = int(pdf["block"].iloc[0])
         conv_uri = CONV_NS + conv_id
-        if block == 0:  # conversation-level triple once, not per block
+        if block_size is None:
             emit(conv_uri, RDF_TYPE, IAO_DOCUMENT, conv_id)
+        # split mode: the conversation-level triple is emitted by the
+        # dedicated distinct-conv plan below — a conversation whose lowest
+        # turn_idx lands in block k > 0 has no block-0 group, so no group
+        # can own it reliably
 
         # detect per turn (turn-relative offsets — the per-turn text
         # equality invariant), dedupe identical (turn, concept, span).
@@ -219,17 +226,31 @@ def fused_conv_triples(
             .withColumn("block", F.col("block") - 1)
             .withColumn("is_ghost", F.lit(True))
         )
-        flat = (
+        grouped = (
             keyed.unionByName(ghosts)
             .groupBy("conv_id", "block")
             .applyInPandas(per_conv, schema=_FLAT_SCHEMA)
         )
         # a (conv, pair) co-occurrence triple may surface from several
-        # blocks; dedupe just that (small, aggregate-shaped) slice
-        cooc = flat.filter(F.col("pred") == PRED_COOCCURS).dropDuplicates(
-            ["conv_id", "subj", "obj"]
+        # blocks with IDENTICAL rows (turn_idx/evidence null), while every
+        # other row kind is emitted exactly once — so one full-row
+        # dropDuplicates dedupes the cooc slice in a SINGLE pass over the
+        # applyInPandas output (two filter branches would re-run the whole
+        # Python detection stage twice)
+        flat = grouped.dropDuplicates()
+        # conversation-level rdf:type triples from a dedicated narrow plan
+        # (see the block comment inside per_conv)
+        conv_rows = transcripts.select("conv_id").distinct().select(
+            F.concat(F.lit(CONV_NS), F.col("conv_id")).alias("subj"),
+            F.lit(RDF_TYPE).alias("pred"),
+            F.lit(IAO_DOCUMENT).alias("obj"),
+            F.col("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.lit(None).cast("int").alias("ev_begin"),
+            F.lit(None).cast("int").alias("ev_end"),
+            F.lit(None).cast("string").alias("ev_text"),
         )
-        flat = flat.filter(F.col("pred") != PRED_COOCCURS).unionByName(cooc)
+        flat = flat.unionByName(conv_rows)
     return flat.select(
         "subj", "pred", "obj", "conv_id", "turn_idx",
         F.when(

@@ -129,9 +129,9 @@ def run_with_lineage(
     # still costs seconds of empty-job overhead; one limit(1) probe
     # makes repeat invocations near-free)
     if todo.limit(1).count() == 0:
-        return spark.read.parquet(lineage_path).filter(
-            F.col("run_key") == run_key
-        )
+        # reuse the exception-guarded read — lineage_path may not exist yet
+        # (first run over an empty input)
+        return lineage.filter(F.col("run_key") == run_key)
 
     mentions, triples = pipeline_fn(todo.drop("partition_id"))
     mentions = with_bucket(mentions, n_buckets).cache()

@@ -37,6 +37,10 @@ class PipelineConfig:
     n_buckets: int = 64
     salt_partitions: Optional[int] = None  # repartition width for skewed input
     fused: bool = False  # one-shuffle conversation-local plan (kgpipe.fused)
+    # detect dedupes turn-locally assuming (conv_id, turn_idx) rows are
+    # unique (the input invariant); set False for sources that may replay
+    # rows to restore a corpus-wide duplicate-annotation removal pass
+    assume_unique_turns: bool = True
     max_turns_per_group: Optional[int] = None  # fused-plan mega-conv guard
 
 
@@ -57,8 +61,13 @@ def build_mentions(
             F.pmod(F.col("turn_idx"), F.lit(8)),
         )
     # detect_mentions dedupes identical annotations turn-locally inside the
-    # scan (narrow) — no corpus-wide remove_duplicates shuffle needed here
+    # scan (narrow) — no corpus-wide remove_duplicates shuffle needed when
+    # the unique-(conv, turn) input invariant holds
     mentions = detect_mentions(transcripts, dictionary)
+    if not cfg.assume_unique_turns:
+        from .filters import remove_duplicates
+
+        mentions = remove_duplicates(mentions)
     if cfg.mayla:
         mentions = mayla_filter(
             mentions, transcripts, dictionary, cfg.mayla_concept_freq

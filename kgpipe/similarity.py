@@ -173,16 +173,23 @@ def ivf_topk(
     ``n_probe`` (``n_probe == n_centroids`` ≡ exact brute force).
     """
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    n_corpus = v.count()
+    # deterministic hash-stride sample — NO global row_number window (that
+    # would sort the whole corpus into one partition just to pick
+    # n_centroids rows); the id-count pass prunes to the id column only.
+    # At real scale you would train centroids offline and broadcast them —
+    # the plan shape past this point is identical.
+    n_corpus = v.select("vec_id").count()
     stride = max(n_corpus // n_centroids, 1)
-    w_all = Window.orderBy("vec_id")
     cent_rows = (
-        v.withColumn("__rn", F.row_number().over(w_all) - 1)
-        .filter((F.col("__rn") % stride == 0))
+        v.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
+        .sort("vec_id")
         .limit(n_centroids)
         .collect()
     )
     centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
+    if not centroids:  # degenerate corpus smaller than the stride
+        cent_rows = v.sort("vec_id").limit(n_centroids).collect()
+        centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
 
     def nearest_exprs(vec):
         """(best_centroid_id, [(cid, cosine)]) as column exprs.  The argmax

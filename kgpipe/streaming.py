@@ -158,9 +158,13 @@ def stream_conv_pairs(
         else:
             buffer = []
         out = {k: list(v) for k, v in _EMPTY.items()}
-        for pdf in pdfs:
-            pdf = pdf.sort_values("turn_idx")
-            for turn_idx, text in zip(pdf["turn_idx"], pdf["text"]):
+        # concatenate the group's Arrow chunks and sort ONCE — per-chunk
+        # sorting gives no cross-chunk ordering, and an out-of-order turn
+        # would otherwise pair against a buffer it doesn't belong to
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("turn_idx")
+            for turn_idx, text in zip(batch["turn_idx"], batch["text"]):
                 ti = int(turn_idx)
                 concepts: set = set()
                 if text is not None and not (isinstance(text, float)
@@ -172,7 +176,10 @@ def stream_conv_pairs(
                 # after this batch's earlier turns were appended, also
                 # covers new-vs-new pairs)
                 for tj, cset in buffer:
-                    if ti - tj > cooc_window:
+                    # two-sided: a late micro-batch can deliver a turn
+                    # EARLIER than buffered ones; |Δ| keeps such pairs
+                    # window-bounded instead of emitting arbitrary spans
+                    if abs(ti - tj) > cooc_window:
                         continue
                     for ca in cset:
                         for cb in concepts:

@@ -228,23 +228,36 @@ def simhash_col(text: str = "text", bits: int = 16) -> Column:
     return out.cast("long")
 
 
+def simhash_segments(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per blocking segment: ``max_hamming + 1`` contiguous
+    segments so a pair within the hamming budget shares at least one
+    IDENTICAL segment (pigeonhole: k differing bits cannot touch all k+1
+    segments).  Two halves would only cover hamming <= 1."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    segs, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        segs.append((off, w))
+        off += w
+    return segs
+
+
 def simhash_near_dups(df: DataFrame, text: str = "text", bits: int = 16,
                       max_hamming: int = 2) -> DataFrame:
     """Near-dups by SimHash Hamming distance; candidate generation blocks on
-    the two bit-halves (any pair within hamming<=2 of a 16-bit hash shares
-    at least one identical half — pigeonhole)."""
+    ``max_hamming + 1`` bit-segments (see ``simhash_segments``)."""
     s = df.select(F.col("doc_id"), simhash_col(text, bits).alias("sh"))
-    half = bits // 2
-    lo = (F.col("sh") % (1 << half)).cast("long")
-    hi = (F.col("sh") / (1 << half)).cast("long")
+    seg_keys = [
+        F.concat(
+            F.lit(f"S{i}:"),
+            (F.shiftright(F.col("sh"), off).bitwiseAND((1 << w) - 1))
+            .cast("string"),
+        )
+        for i, (off, w) in enumerate(simhash_segments(bits, max_hamming))
+    ]
     keyed = s.select(
-        "doc_id", "sh",
-        F.explode(
-            F.array(
-                F.concat(F.lit("L"), lo.cast("string")),
-                F.concat(F.lit("H"), hi.cast("string")),
-            )
-        ).alias("blk"),
+        "doc_id", "sh", F.explode(F.array(*seg_keys)).alias("blk")
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
