@@ -88,3 +88,23 @@ def test_fused_block_split_requires_window_fit(spark):
 
     with pytest.raises(ValueError):
         fused_conv_triples(tdf, ddf, cooc_window=5, max_turns_per_group=4)
+
+
+def test_fused_block_split_high_turn_offsets(spark):
+    """Regression: a conversation whose lowest turn_idx lands past block 0
+    must still get its conversation-level rdf:type triple in split mode."""
+    tdf = spark.createDataFrame(
+        [("c9", 100, "user", "a neuron appears", None, None),
+         ("c9", 101, "user", "then a fibroblast", None, None)],
+        T_SCHEMA,
+    )
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO})
+    unsplit = fused_conv_triples(tdf, ddf, cooc_window=3, disambiguate=False)
+    split = fused_conv_triples(tdf, ddf, cooc_window=3, disambiguate=False,
+                               max_turns_per_group=5)
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "evidence"]
+    u = {tuple(r) for r in unsplit.select(*cols).collect()}
+    s = {tuple(r) for r in split.select(*cols).collect()}
+    assert u == s
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert any(r[1] == rdf_type for r in s)
