@@ -260,6 +260,96 @@ WHERE len(list_intersect(ta, tb))::double
 """
 
 
+def _lsh_topk_sql(k: int = 5, n_planes: int = 8, n_tables: int = 4) -> str:
+    """Multi-table hyperplane LSH top-k: inlined plane literals per table
+    (seed 42+t, matching kgpipe.similarity.lsh_topk)."""
+    from kgpipe.similarity import _hyperplane
+
+    def bucket_expr(vec: str, seed: int) -> str:
+        terms = []
+        for j in range(n_planes):
+            plane = _hyperplane(64, seed, j)
+            lits = ", ".join(repr(x) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec}, [{lits}]) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    vb = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, ({bucket_expr('e', 42 + t)}) AS bkt FROM v"
+        for t in range(n_tables)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT q_id, qv, {t} AS tbl, ({bucket_expr('qv', 42 + t)}) AS bkt FROM q"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5),
+vb AS ({vb}),
+qb AS ({qb}),
+cand AS (
+  SELECT DISTINCT qb.q_id, vb.vec_id
+  FROM vb JOIN qb ON vb.tbl = qb.tbl AND vb.bkt = qb.bkt
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(q.qv, v.e)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(v.e, v.e))) AS cos
+  FROM cand c JOIN q ON c.q_id = q.q_id JOIN v ON c.vec_id = v.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, rank::int AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+_IVF_TOPK_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS cv FROM v
+         WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT v.vec_id, v.e, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           list_dot_product(v.e, c.cv)
+             / (sqrt(list_dot_product(v.e, v.e))
+                * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid DESC) AS rn
+  FROM v CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, e, cid AS cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5),
+qprobe AS (
+  SELECT q.q_id, q.qv, c.cid AS cell,
+         row_number() OVER (PARTITION BY q.q_id ORDER BY
+           list_dot_product(q.qv, c.cv)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid ASC) AS rn
+  FROM q CROSS JOIN cent c
+),
+probes AS (SELECT q_id, qv, cell FROM qprobe WHERE rn <= 4),
+cand AS (
+  SELECT p.q_id, c.vec_id,
+         list_dot_product(p.qv, c.e)
+           / (sqrt(list_dot_product(p.qv, p.qv))
+              * sqrt(list_dot_product(c.e, c.e))) AS cos
+  FROM probes p JOIN cells c ON p.cell = c.cell
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank
+  FROM cand
+)
+SELECT q_id, vec_id, rank::int AS rank FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -655,7 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = e.filter(F.col("vec_id") < 5).selectExpr(
             "vec_id as q_id", "embedding as q_vec"
         )
-        return lsh_topk(e, queries_df, dim=64, k=5, n_planes=8, n_tables=4)
+        return lsh_topk(e, queries_df, dim=64, k=5, n_planes=8,
+                        n_tables=4).select("q_id", "vec_id", "rank")
 
     def q_frame_sample(spark, sf_dir):
         from kgpipe.multimodal import frame_sample_plan
@@ -703,7 +794,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = e.filter(F.col("vec_id") < 5).selectExpr(
             "vec_id as q_id", "embedding as q_vec"
         )
-        return ivf_topk(e, queries_df, k=5, n_centroids=16, n_probe=4)
+        # caller-supplied centroids (the production path — trained offline,
+        # broadcast in): deterministic id-rule sample, cell id = vec_id, so
+        # the DuckDB oracle can re-derive the identical cells in pure SQL
+        cent_rows = (
+            e.filter(F.col("vec_id") % 31 == 0).sort("vec_id").limit(16)
+            .collect()
+        )
+        centroids = [(int(r["vec_id"]), list(r["embedding"]))
+                     for r in cent_rows]
+        return ivf_topk(e, queries_df, k=5, n_probe=4,
+                        centroids=centroids).select("q_id", "vec_id", "rank")
 
     def q_media_features(spark, sf_dir):
         from kgpipe.multimodal import extract_features
@@ -714,7 +815,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.encode("text", "utf-8").alias("payload"),
             F.create_map(F.lit("src"), F.col("source")).alias("meta"),
         )
-        return extract_features(media, fake=True)
+        feats = extract_features(media, fake=True)
+        # contract projection: scalar digest of the feature vector (the
+        # driver's canonicalizer cannot sort array<float> columns).  The
+        # fake decoder is sha256-of-payload scaled to [0,1], so the hex
+        # digest reconstructs exactly — and gives DuckDB an oracle.
+        feat_hex = F.concat_ws(
+            "",
+            F.transform(
+                F.col("feature"),
+                lambda f: F.lpad(
+                    F.lower(F.hex(F.round(f * 255).cast("int"))), 2, "0"
+                ),
+            ),
+        )
+        return feats.select(
+            "media_id", "modality", "n_bytes", feat_hex.alias("feat_hex")
+        )
 
     return {
         "mention_detect": q_mention_detect,
@@ -1124,7 +1241,78 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
 SELECT event_type, count(*) AS n,
        (sum(value::DECIMAL(18,2)))::double AS total_value
 FROM events GROUP BY event_type""",
-        # kg_triples / lsh_topk / media_features: non-SQL-expressible
-        # (trie UDF over text, LSH hyperplane literals, binary feature UDF)
-        # → rows-only checks.
+        "kg_triples": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+conv AS (SELECT DISTINCT conv_id FROM transcripts),
+t_conv AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'http://purl.obolibrary.org/obo/IAO_0000310' AS obj,
+         conv_id, NULL::int AS turn_idx
+  FROM conv),
+t_part AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/dc/terms/isPartOf' AS pred,
+         'https://kg.example.org/conv/' || conv_id AS obj,
+         conv_id, turn_idx
+  FROM transcripts),
+t_role AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/kgpipe/hasRole' AS pred,
+         role AS obj, conv_id, turn_idx
+  FROM transcripts WHERE role IS NOT NULL),
+t_denote AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/kgpipe/denotes' AS pred,
+         'http://purl.obolibrary.org/obo/'
+           || replace(concept_id, ':', '_') AS obj,
+         conv_id, turn_idx
+  FROM mentions),
+t_cooc AS (
+  SELECT DISTINCT
+         'http://purl.obolibrary.org/obo/'
+           || replace(a.concept_id, ':', '_') AS subj,
+         'http://purl.org/kgpipe/cooccursWith' AS pred,
+         'http://purl.obolibrary.org/obo/'
+           || replace(b.concept_id, ':', '_') AS obj,
+         a.conv_id, NULL::int AS turn_idx
+  FROM mentions a JOIN mentions b
+    ON a.conv_id = b.conv_id
+   AND abs(a.turn_idx - b.turn_idx) <= 3
+   AND a.concept_id < b.concept_id)
+SELECT * FROM t_conv UNION ALL SELECT * FROM t_part
+UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_denote
+UNION ALL SELECT * FROM t_cooc""",
+        "lsh_topk": _lsh_topk_sql(),
+        "ivf_topk": _IVF_TOPK_SQL,
+        "embedding_disambig": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ctx AS (
+  SELECT m.conv_id, m.turn_idx, m.concept_id, m.begin, m."end", e.e AS cx
+  FROM mentions m LEFT JOIN emb e ON m.turn_idx % 500 = e.vec_id),
+con AS (
+  SELECT 'T:000' || (vec_id + 1)::varchar AS concept_id, e AS ce
+  FROM emb WHERE vec_id < 5),
+scored AS (
+  SELECT c.conv_id, c.turn_idx, c.concept_id, c.begin, c."end",
+         CASE WHEN c.cx IS NOT NULL AND k.ce IS NOT NULL
+              THEN list_dot_product(c.cx, k.ce)
+                     / (sqrt(list_dot_product(c.cx, c.cx))
+                        * sqrt(list_dot_product(k.ce, k.ce)))
+              ELSE -2.0 END AS s
+  FROM ctx c LEFT JOIN con k ON c.concept_id = k.concept_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, begin, "end"
+              ORDER BY s DESC, concept_id ASC) AS rn
+  FROM scored)
+SELECT conv_id, turn_idx, concept_id, begin, "end" FROM r WHERE rn = 1""",
+        "media_features": """
+SELECT doc_id::varchar AS media_id, 'image' AS modality,
+       strlen(text)::int AS n_bytes,
+       substr(sha256(text), 1, 32) AS feat_hex
+FROM documents""",
     }

@@ -159,36 +159,38 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantization + probed re-rank.
 
-    Centroids are ``n_centroids`` corpus vectors sampled by deterministic
-    id-order stride (no k-means fit stage — at 100 TB you would train
-    centroids offline and broadcast them; the plan shape is identical).
-    Every vector is assigned to its nearest centroid (one narrow pass,
-    broadcast centroid literals, JVM column math); each query probes its
-    ``n_probe`` nearest centroids and re-ranks candidates exactly.  The
-    candidate join is an equi-join on centroid id, so the corpus side
-    prunes to probed cells instead of scanning — recall grows with
-    ``n_probe`` (``n_probe == n_centroids`` ≡ exact brute force).
+    ``centroids`` — the production path: a small ``(cell_id, vector)`` list
+    trained offline (k-means on a sample) and passed in, so the operator
+    itself is a single narrow assignment pass + one equi-join on cell id;
+    no driver-side action touches the corpus.  When omitted, a fallback
+    samples ``n_centroids`` corpus vectors by id-order stride (one count +
+    one tiny collect — fine for notebooks, not the 100 TB hot path).
+    Every vector is assigned to its nearest centroid (broadcast centroid
+    literals, JVM column math); each query probes its ``n_probe`` nearest
+    centroids and re-ranks candidates exactly.  The candidate join is an
+    equi-join on cell id, so the corpus side prunes to probed cells instead
+    of scanning — recall grows with ``n_probe`` (``n_probe == n_centroids``
+    ≡ exact brute force).
     """
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    # deterministic hash-stride sample — NO global row_number window (that
-    # would sort the whole corpus into one partition just to pick
-    # n_centroids rows); the id-count pass prunes to the id column only.
-    # At real scale you would train centroids offline and broadcast them —
-    # the plan shape past this point is identical.
-    n_corpus = v.select("vec_id").count()
-    stride = max(n_corpus // n_centroids, 1)
-    cent_rows = (
-        v.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
-        .sort("vec_id")
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
-    if not centroids:  # degenerate corpus smaller than the stride
-        cent_rows = v.sort("vec_id").limit(n_centroids).collect()
+    if centroids is None:
+        # deterministic hash-stride sample — NO global row_number window
+        # (that would sort the whole corpus into one partition just to pick
+        # n_centroids rows); the id-count pass prunes to the id column only.
+        n_corpus = v.select("vec_id").count()
+        stride = max(n_corpus // n_centroids, 1)
+        cent_rows = (
+            v.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
+            .sort("vec_id")
+            .limit(n_centroids)
+            .collect()
+        )
+        if not cent_rows:  # degenerate corpus smaller than the stride
+            cent_rows = v.sort("vec_id").limit(n_centroids).collect()
         centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
 
     def nearest_exprs(vec):
@@ -215,7 +217,10 @@ def ivf_topk(
     ])
     probes = F.slice(F.array_sort(
         probe_arr, lambda a, b: F.when(a["s"] > b["s"], -1)
-        .when(a["s"] < b["s"], 1).otherwise(0)
+        .when(a["s"] < b["s"], 1)
+        # deterministic tie-break on cell id (ascending) — array_sort with a
+        # comparator is not guaranteed stable
+        .when(a["c"] < b["c"], -1).when(a["c"] > b["c"], 1).otherwise(0)
     ), 1, n_probe)
     q_cells = q.select(
         "q_id", "q", F.explode(F.transform(probes, lambda p: p["c"])).alias("cell")
