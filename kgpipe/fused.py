@@ -52,6 +52,11 @@ _FLAT_SCHEMA = (
     " ev_begin int, ev_end int, ev_text string"
 )
 
+#: pred value of quarantined per-conversation failures (obj = message);
+#: consumed by kgpipe.pipeline's lineage integration, never written to the
+#: triple table
+ERROR_PRED = "__ERROR__"
+
 
 def _concept_uri(cid: str) -> str:
     if cid.startswith("http"):
@@ -67,6 +72,7 @@ def fused_conv_triples(
     disambiguate: bool = True,
     canonical: bool = True,
     max_turns_per_group: Optional[int] = None,
+    quarantine_errors: bool = False,
 ) -> DataFrame:
     """transcripts → full triple set with one shuffle (see module doc).
 
@@ -98,6 +104,26 @@ def fused_conv_triples(
     block_size = max_turns_per_group
 
     def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        conv_id = pdf["conv_id"].iloc[0]
+        block = int(pdf["block"].iloc[0])
+        try:
+            return _process_conv(pdf, conv_id, block)
+        except Exception as exc:
+            if not quarantine_errors:
+                raise
+            # per-conversation quarantine (the reference records per-doc
+            # errors in its run catalog, RunCatalogAE.java:107-112): one
+            # ERROR_PRED row instead of a failed task; kgpipe.pipeline's
+            # lineage integration turns it into an ERROR lineage bucket
+            return pd.DataFrame({
+                "subj": [CONV_NS + conv_id], "pred": [ERROR_PRED],
+                "obj": [f"{type(exc).__name__}: {exc}"],
+                "conv_id": [conv_id], "turn_idx": [None],
+                "ev_begin": [None], "ev_end": [None], "ev_text": [None],
+            })
+
+    def _process_conv(pdf: pd.DataFrame, conv_id: str, block: int) -> pd.DataFrame:
         tries_l, comp = bc.value
         out = {k: [] for k in ("subj", "pred", "obj", "conv_id", "turn_idx",
                                "ev_begin", "ev_end", "ev_text")}
@@ -113,9 +139,6 @@ def fused_conv_triples(
             out["ev_end"].append(ev[1])
             out["ev_text"].append(ev[2])
 
-        pdf = pdf.sort_values("turn_idx")
-        conv_id = pdf["conv_id"].iloc[0]
-        block = int(pdf["block"].iloc[0])
         conv_uri = CONV_NS + conv_id
         if block_size is None:
             emit(conv_uri, RDF_TYPE, IAO_DOCUMENT, conv_id)
@@ -230,14 +253,18 @@ def fused_conv_triples(
             keyed.unionByName(ghosts)
             .groupBy("conv_id", "block")
             .applyInPandas(per_conv, schema=_FLAT_SCHEMA)
-        )
-        # a (conv, pair) co-occurrence triple may surface from several
-        # blocks with IDENTICAL rows (turn_idx/evidence null), while every
-        # other row kind is emitted exactly once — so one full-row
-        # dropDuplicates dedupes the cooc slice in a SINGLE pass over the
-        # applyInPandas output (two filter branches would re-run the whole
-        # Python detection stage twice)
-        flat = grouped.dropDuplicates()
+        ).persist()
+        # only the (conv, pair) co-occurrence triples can surface from
+        # several blocks (with IDENTICAL rows — turn_idx/evidence null);
+        # every other row kind is emitted exactly once per group, including
+        # legitimately duplicated denotes rows (two concepts canonicalizing
+        # to one component at the same span), which a full-row
+        # dropDuplicates would wrongly collapse.  Persisting the grouped
+        # output lets the two slices read the Python stage once while only
+        # the (small) cooc slice pays a dedup shuffle — at scale this is
+        # local storage ≈ output bytes instead of a full output shuffle.
+        cooc = grouped.filter(F.col("pred") == PRED_COOCCURS).dropDuplicates()
+        flat = grouped.filter(F.col("pred") != PRED_COOCCURS).unionByName(cooc)
         # conversation-level rdf:type triples from a dedicated narrow plan
         # (see the block comment inside per_conv)
         conv_rows = transcripts.select("conv_id").distinct().select(
@@ -251,7 +278,7 @@ def fused_conv_triples(
             F.lit(None).cast("string").alias("ev_text"),
         )
         flat = flat.unionByName(conv_rows)
-    return flat.select(
+    result = flat.select(
         "subj", "pred", "obj", "conv_id", "turn_idx",
         F.when(
             F.col("ev_begin").isNotNull(),
@@ -262,3 +289,8 @@ def fused_conv_triples(
             ),
         ).alias("evidence"),
     )
+    if block_size is not None:
+        # split mode persists the applyInPandas output (see above); hand
+        # the cached frame to callers so long-lived sessions can release it
+        result._kgpipe_persisted = grouped  # type: ignore[attr-defined]
+    return result

@@ -108,15 +108,18 @@ def run_grid(
     grid = param_grid()
     chosen = list(indices) if indices is not None else range(len(grid))
     out: list[GridResult] = []
+    # gold is deduped on the annotation key in BOTH grid paths (here and in
+    # run_grid_fused) so duplicated gold rows cannot make the serial and
+    # fused sweeps diverge — the grid's TP/FN space is the distinct gold set
+    keys = ["conv_id", "turn_idx", "concept_id", "begin", "end"]
+    gold = gold.select(*keys).dropDuplicates(keys)
     for i in chosen:
         cfg = grid[i]
         ddf = build_dictionary_df(spark, {ontology: obo_paths[ontology]},
                                   configs={ontology: cfg})
         mentions = detect_mentions(transcripts, ddf, configs={ontology: cfg})
         s = summary(
-            compare(gold, mentions.select(
-                "conv_id", "turn_idx", "concept_id", "begin", "end"
-            ), span=span)
+            compare(gold, mentions.select(*keys), span=span)
         ).first()
         out.append(GridResult(i, param_string(cfg), s.tp or 0, s.fp or 0,
                               s.fn or 0))

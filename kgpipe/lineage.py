@@ -117,9 +117,14 @@ def run_with_lineage(
     concept_id == '__ERROR__' are treated as quarantined failures (written to
     lineage, excluded from output counts).
 
-    Returns the lineage rows appended by this invocation.
+    Returns the CURRENT lineage rows for *run_key* (rows appended by this
+    invocation included; on a fully-resumed no-op re-run that is the
+    existing rows — callers counting appends should diff against a prior
+    read, not len() this result).
     """
-    run_date = run_date or dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    # real wall-clock by default: "latest status wins" (complete_buckets /
+    # runs_map max_by) needs run_date to actually order successive runs
+    run_date = run_date or dt.datetime.now(dt.timezone.utc)
     inputs = with_bucket(transcripts, n_buckets)
     lineage = read_lineage(spark, lineage_path)
     todo = outstanding(inputs, lineage, run_key)

@@ -42,6 +42,9 @@ class PipelineConfig:
     # rows to restore a corpus-wide duplicate-annotation removal pass
     assume_unique_turns: bool = True
     max_turns_per_group: Optional[int] = None  # fused-plan mega-conv guard
+    # per-ontology ConceptMapper knob overrides (MatchConfig); None → the
+    # per-ontology optimized defaults (EntityFinder.java:133-170)
+    detect_configs: Optional[dict] = None
 
 
 def build_mentions(
@@ -63,7 +66,7 @@ def build_mentions(
     # detect_mentions dedupes identical annotations turn-locally inside the
     # scan (narrow) — no corpus-wide remove_duplicates shuffle needed when
     # the unique-(conv, turn) input invariant holds
-    mentions = detect_mentions(transcripts, dictionary)
+    mentions = detect_mentions(transcripts, dictionary, cfg.detect_configs)
     if not cfg.assume_unique_turns:
         from .filters import remove_duplicates
 
@@ -91,19 +94,69 @@ def run_pipeline(
     concept_col = "canonical_id" if cfg.canonical else "concept_id"
 
     if cfg.fused:
-        if lineage_path:
+        # staged-only options must not silently no-op under --fused
+        if cfg.mayla or cfg.salt_partitions or not cfg.assume_unique_turns:
             raise ValueError(
-                "fused mode has no per-mention error quarantine; use the "
-                "staged path for lineage-tracked resumable runs"
+                "fused mode does not support mayla/salt_partitions/"
+                "assume_unique_turns=False; use the staged path for those"
             )
-        from .fused import fused_conv_triples
+        from pyspark.sql import functions as F
 
-        triples = fused_conv_triples(
-            transcripts, dictionary, cooc_window=cfg.cooc_window,
-            disambiguate=cfg.disambiguate, canonical=cfg.canonical,
-            max_turns_per_group=cfg.max_turns_per_group,
-        )
+        from .fused import ERROR_PRED, fused_conv_triples
+        from .triples import PRED_DENOTES
+
+        def _make_flat(tdf: DataFrame) -> DataFrame:
+            return fused_conv_triples(
+                tdf, dictionary, configs=cfg.detect_configs,
+                cooc_window=cfg.cooc_window,
+                disambiguate=cfg.disambiguate, canonical=cfg.canonical,
+                max_turns_per_group=cfg.max_turns_per_group,
+                quarantine_errors=bool(lineage_path),
+            )
+
+        if lineage_path:
+            # resumable fused run (RunCatalogCollectionReader.java:62-94
+            # semantics on the production one-shuffle plan): process only
+            # OUTSTANDING buckets, quarantine per-conversation errors as
+            # ERROR_PRED rows, derive the per-bucket mention/triple counts
+            # from the single applyInPandas output.
+            persisted: list[DataFrame] = []
+
+            def _fused_stage(tdf: DataFrame):
+                flat = _make_flat(tdf).persist()
+                persisted.append(flat)
+                inner = getattr(flat, "_kgpipe_persisted", None)
+                if inner is not None:  # split-mode applyInPandas cache
+                    persisted.append(inner)
+                errors = flat.filter(F.col("pred") == ERROR_PRED).select(
+                    "conv_id",
+                    F.lit("__ERROR__").alias("concept_id"),
+                    F.col("obj").alias("error"),
+                )
+                ok = flat.filter(F.col("pred") != ERROR_PRED)
+                mentions_view = ok.filter(
+                    F.col("pred") == PRED_DENOTES
+                ).select(
+                    "conv_id",
+                    F.lit("mention").alias("concept_id"),
+                    F.lit(None).cast("string").alias("error"),
+                ).unionByName(errors)
+                return mentions_view, ok
+
+            try:
+                return run_with_lineage(
+                    spark, transcripts, _fused_stage, cfg.run_key,
+                    lineage_path, output_path, cfg.n_buckets,
+                )
+            finally:
+                for df in persisted:
+                    df.unpersist()
+
+        triples = _make_flat(transcripts)
         write_triples(triples, output_path, cfg.n_buckets, mode="overwrite")
+        cached = getattr(triples, "_kgpipe_persisted", None)
+        if cached is not None:
+            cached.unpersist()
         return triples
 
     def _stage(tdf: DataFrame):

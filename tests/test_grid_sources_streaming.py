@@ -212,3 +212,39 @@ def test_run_grid_fused_matches_serial(spark):
                                 indices=indices).collect()
     }
     assert fused == serial
+
+
+def test_run_grid_duplicate_gold_rows_agree(spark):
+    """Duplicated gold rows must not diverge the serial vs fused sweeps:
+    both dedupe gold on the annotation key (documented invariant)."""
+    from kgpipe.grid import run_grid_fused
+
+    rows = [
+        ("c1", 0, "user", "the neuron and another cell", None, None),
+        ("c2", 0, "tool", "a fibroblast, then a neuron", None, None),
+    ]
+    tdf = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    gold = spark.createDataFrame(
+        [
+            ("c1", 0, "CL:0000540", 4, 10),
+            ("c1", 0, "CL:0000540", 4, 10),  # exact duplicate
+            ("c2", 0, "CL:0000057", 2, 12),
+        ],
+        "conv_id string, turn_idx int, concept_id string, begin int, end int",
+    )
+    indices = [0, 63]
+    serial = {
+        r.index: (r.tp, r.fp, r.fn)
+        for r in run_grid(spark, tdf, {"CL": MINI_OBO}, gold, "CL",
+                          indices=indices)
+    }
+    fused = {
+        r.param_idx: (r.tp, r.fp, r.fn)
+        for r in run_grid_fused(spark, tdf, {"CL": MINI_OBO}, gold, "CL",
+                                indices=indices).collect()
+    }
+    assert fused == serial

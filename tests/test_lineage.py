@@ -137,3 +137,126 @@ def test_error_quarantine_records_error_bucket(spark, tmp_path):
     assert ERROR in by_status.values() and COMPLETE in by_status.values()
     err_row = [r for r in rows.collect() if r.status == ERROR][0]
     assert "ValueError" in err_row.error and err_row.component_at_fault == "detect"
+
+
+# ---------------------------------------------------------------------------
+# fused plan + lineage (resumable production path)
+# ---------------------------------------------------------------------------
+
+def _gen_tdf(spark, n_convs=30, seed=13):
+    from kgpipe.synth import generate_transcripts
+
+    rows, _ = generate_transcripts(n_convs=n_convs, seed=seed)
+    return spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+         for r in rows],
+        T_SCHEMA,
+    )
+
+
+TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "evidence"]
+
+
+def test_fused_lineage_resume_identical_output(spark, tmp_path):
+    """BENCH.md resume semantics reproduced with fused=True: a half-input
+    run + full resume must equal a clean non-lineage fused run exactly."""
+    from conftest import MINI_OBO
+    from kgpipe.pipeline import PipelineConfig, run_pipeline
+
+    tdf = _gen_tdf(spark)
+    cfg = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True,
+                         disambiguate=False, n_buckets=8)
+
+    out_a = str(tmp_path / "fused_clean")
+    run_pipeline(spark, tdf, cfg, out_a)
+    clean = spark.read.parquet(out_a).select(*TRIPLE_COLS)
+
+    out_b = str(tmp_path / "fused_resumed")
+    lin_b = str(tmp_path / "fused_lineage")
+    half = tdf.filter(F.pmod(F.xxhash64("conv_id"), F.lit(8)) < 4)
+    run_pipeline(spark, half, cfg, out_b, lineage_path=lin_b)
+    n_half = spark.read.parquet(out_b).count()
+    assert 0 < n_half < clean.count()
+
+    rows = run_pipeline(spark, tdf, cfg, out_b, lineage_path=lin_b)
+    resumed = spark.read.parquet(out_b).select(*TRIPLE_COLS)
+    assert resumed.exceptAll(clean).count() == 0
+    assert clean.exceptAll(resumed).count() == 0
+    by_status = {r.partition_id: r.status for r in rows.collect()}
+    assert set(by_status.values()) == {COMPLETE}
+    # per-bucket metrics present on the fused path
+    r0 = rows.filter(F.col("n_turns") > 0).first()
+    assert r0.n_mentions > 0 and r0.n_triples > 0
+
+
+def test_fused_lineage_split_mode_matches(spark, tmp_path):
+    """fused + lineage + mega-conversation block splitting together."""
+    from conftest import MINI_OBO
+    from kgpipe.pipeline import PipelineConfig, run_pipeline
+
+    tdf = _gen_tdf(spark, n_convs=20, seed=5)
+    base = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True,
+                          disambiguate=False, n_buckets=8)
+    out_a = str(tmp_path / "unsplit")
+    run_pipeline(spark, tdf, base, out_a)
+    clean = spark.read.parquet(out_a).select(*TRIPLE_COLS)
+
+    split_cfg = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True,
+                               disambiguate=False, n_buckets=8,
+                               max_turns_per_group=5)
+    out_b = str(tmp_path / "split")
+    lin_b = str(tmp_path / "split_lineage")
+    run_pipeline(spark, tdf, split_cfg, out_b, lineage_path=lin_b)
+    got = spark.read.parquet(out_b).select(*TRIPLE_COLS)
+    assert got.exceptAll(clean).count() == 0
+    assert clean.exceptAll(got).count() == 0
+
+
+def test_fused_lineage_error_quarantine_and_retry(spark, tmp_path):
+    """A failing detect config quarantines per-conversation errors into
+    ERROR lineage buckets; a later run with a fixed config retries exactly
+    those buckets and converges to the clean output."""
+    from conftest import MINI_OBO
+    from kgpipe.normalize import MatchConfig
+    from kgpipe.pipeline import PipelineConfig, run_pipeline
+
+    tdf = _gen_tdf(spark, n_convs=12, seed=3)
+    bogus = MatchConfig(
+        search_strategy="BOGUS", case_match="CASE_INSENSITIVE",
+        stemmer="NONE", stopwords="NONE", order_independent=False,
+        find_all_matches=False, synonym_type="ALL",
+    )
+    out = str(tmp_path / "q_triples")
+    lin = str(tmp_path / "q_lineage")
+    cfg_err = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True,
+                             disambiguate=False, n_buckets=4,
+                             detect_configs={"CL": bogus})
+    rows = run_pipeline(spark, tdf, cfg_err, out, lineage_path=lin)
+    statuses = {r.status for r in rows.collect()}
+    assert statuses == {ERROR}
+    assert all("ValueError" in r.error for r in rows.collect())
+
+    cfg_ok = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True,
+                            disambiguate=False, n_buckets=4)
+    rows2 = run_pipeline(spark, tdf, cfg_ok, out, lineage_path=lin)
+    latest = (rows2.groupBy("partition_id")
+              .agg(F.max_by("status", "run_date").alias("status")))
+    assert {r.status for r in latest.collect()} == {COMPLETE}
+
+    out_clean = str(tmp_path / "q_clean")
+    run_pipeline(spark, tdf, cfg_ok, out_clean)
+    clean = spark.read.parquet(out_clean).select(*TRIPLE_COLS)
+    got = spark.read.parquet(out).select(*TRIPLE_COLS)
+    assert got.exceptAll(clean).count() == 0
+    assert clean.exceptAll(got).count() == 0
+
+
+def test_fused_rejects_staged_only_options(spark, tmp_path):
+    from conftest import MINI_OBO
+    from kgpipe.pipeline import PipelineConfig, run_pipeline
+    import pytest
+
+    tdf = _gen_tdf(spark, n_convs=2, seed=1)
+    cfg = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True, mayla=True)
+    with pytest.raises(ValueError):
+        run_pipeline(spark, tdf, cfg, str(tmp_path / "x"))
