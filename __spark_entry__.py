@@ -152,44 +152,59 @@ _LANG_SQL_MARKERS = {
 }
 
 
-def _simhash_total(bits: int = 16) -> str:
+def _simhash_total(bits: int = 32) -> str:
+    """Naive per-bit form of kgpipe.textops.simhash_col's scheme (sign for
+    bit j = bit j%4 of hex digit j//4 of md5(token)); <= 32 bits so every
+    weight fits without two's-complement handling."""
     bit_terms = []
     for j in range(bits):
-        contrib = (
-            "list_sum(list_transform(td, t -> CASE WHEN substr(md5(t), "
-            f"{j + 1}, 1) IN ('0','1','2','3','4','5','6','7') "
-            "THEN -1 ELSE 1 END))"
+        d, m = divmod(j, 4)
+        sign = (
+            "CASE WHEN ((strpos('0123456789abcdef', substr(h, "
+            f"{d + 1}, 1)) - 1) // {1 << m}) % 2 = 1 THEN 1 ELSE -1 END"
         )
-        bit_terms.append(f"(CASE WHEN {contrib} > 0 THEN {1 << j} ELSE 0 END)")
+        contrib = f"coalesce(list_sum(list_transform(hs, h -> {sign})), 0)"
+        bit_terms.append(
+            f"(CASE WHEN {contrib} > 0 THEN {1 << j}::bigint ELSE 0 END)"
+        )
     return " + ".join(bit_terms)
 
 
-def _simhash_sql(bits: int = 16) -> str:
+_SQL_HS = (
+    "list_transform(list_distinct(string_split(text, ' ')), x -> md5(x))"
+)
+
+
+def _simhash_sql(bits: int = 32) -> str:
     return f"""
 WITH t AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents
+  SELECT doc_id, {_SQL_HS} AS hs FROM documents
 )
 SELECT doc_id, ({_simhash_total(bits)})::bigint AS simhash FROM t
 """
 
 
-def _simhash_near_dup_sql(bits: int = 16, max_hamming: int = 2) -> str:
-    from kgpipe.textops import simhash_segments
+def _simhash_near_dup_sql(bits: int = 32, max_hamming: int = 2,
+                          n_segments: int = 4) -> str:
+    from kgpipe.textops import simhash_block_combos
 
-    seg_conds = " OR ".join(
-        f"(a.sh // {1 << off}) % {1 << w} = (b.sh // {1 << off}) % {1 << w}"
-        for off, w in simhash_segments(bits, max_hamming)
+    combo_conds = " OR ".join(
+        "(" + " AND ".join(
+            f"(a.sh // {1 << off}) % {1 << w} = (b.sh // {1 << off}) % {1 << w}"
+            for off, w in combo
+        ) + ")"
+        for combo in simhash_block_combos(bits, max_hamming, n_segments)
     )
     return f"""
 WITH {_SQL_DOUBLED.lstrip()},
 sub AS (SELECT doc_id, text FROM doubled WHERE (doc_id % 100000) < 200),
-t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM sub),
+t AS (SELECT doc_id, {_SQL_HS} AS hs FROM sub),
 s AS (SELECT doc_id, ({_simhash_total(bits)})::bigint AS sh FROM t)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.sh, b.sh))::int AS hamming
 FROM s a JOIN s b
   ON a.doc_id < b.doc_id
- AND ({seg_conds})
+ AND ({combo_conds})
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
@@ -513,11 +528,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_ngram_jaccard(spark, sf_dir):
         sub = _doubled(spark, sf_dir).filter((F.col("doc_id") % 100000) < 100)
-        return ngram_jaccard_pairs(sub, n=3, threshold=0.5, key_prefix_len=1)
+        return ngram_jaccard_pairs(sub, n=3, threshold=0.5, n_blocks=4)
 
     def q_simhash(spark, sf_dir):
+        # 32-bit so the DuckDB oracle's naive per-bit form stays enumerable;
+        # the 64-bit production default is pytest-covered (test_textops)
         return _docs(spark, sf_dir).select(
-            "doc_id", simhash_col().alias("simhash")
+            "doc_id", simhash_col(bits=32).alias("simhash")
         )
 
     def q_token_count(spark, sf_dir):
@@ -709,9 +726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kgpipe.textops import simhash_near_dups
 
         sub = _doubled(spark, sf_dir).filter((F.col("doc_id") % 100000) < 200)
-        return simhash_near_dups(sub, bits=16, max_hamming=2).withColumn(
-            "hamming", F.col("hamming").cast("int")
-        )
+        # combination blocking (C(4,2)=6 tables of 16-bit keys) exercised in
+        # both engines; 64-bit/8-segment production default is pytest-covered
+        return simhash_near_dups(
+            sub, bits=32, max_hamming=2, n_segments=4
+        ).withColumn("hamming", F.col("hamming").cast("int"))
 
     def q_embedding_near_dup(spark, sf_dir):
         from kgpipe.similarity import pairwise_cosine_dedup
@@ -1031,18 +1050,29 @@ SELECT doc_id FROM r WHERE rn = 1""",
         "ngram_jaccard": f"""
 WITH {_SQL_DOUBLED.lstrip()},
 sub AS (SELECT doc_id, text FROM doubled WHERE (doc_id % 100000) < 100),
-t AS (SELECT doc_id, substr(md5(doc_id::varchar), 1, 1) AS blk,
-             string_split(text, ' ') AS w FROM sub),
-gs AS (SELECT doc_id, blk,
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM sub),
+gs AS (SELECT doc_id,
               list_distinct(list_transform(generate_series(1, len(w) - 2),
                 i -> array_to_string(w[i:i+2], ' '))) AS grams
-       FROM t)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       len(list_intersect(a.grams, b.grams))::double
-         / len(list_distinct(list_concat(a.grams, b.grams)))::double AS jaccard
-FROM gs a JOIN gs b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.grams, b.grams))::double
-        / len(list_distinct(list_concat(a.grams, b.grams)))::double >= 0.5""",
+       FROM t),
+keys AS ({" UNION ALL ".join(
+    f"SELECT doc_id, grams, {i} AS blk_idx, "
+    f"list_min(list_transform(grams, g -> md5('{i}|' || g))) AS blk FROM gs"
+    for i in range(4)
+)}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.grams) AS ga, any_value(b.grams) AS gb
+  FROM keys a JOIN keys b
+    ON a.blk_idx = b.blk_idx AND a.blk = b.blk AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(ga, gb))::double
+         / len(list_distinct(list_concat(ga, gb)))::double AS jaccard
+FROM cand
+WHERE len(list_intersect(ga, gb))::double
+        / len(list_distinct(list_concat(ga, gb)))::double >= 0.5""",
         "simhash": _simhash_sql(),
         "token_count": r"""
 SELECT doc_id,

@@ -172,29 +172,64 @@ def ngram_set_col(text: str = "text", n: int = 3) -> Column:
 
 def ngram_jaccard_pairs(
     df: DataFrame, text: str = "text", n: int = 3, threshold: float = 0.3,
-    key_prefix_len: int = 0,
+    n_blocks: int = 0,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard within md5-prefix blocks (``key_prefix_len``
-    > 0 blocks the quadratic join; 0 = exhaustive, for small inputs/tests)."""
+    """n-gram Jaccard pairs with CONTENT-keyed blocking.
+
+    ``n_blocks`` > 0: block key i (i < n_blocks) = the min over the
+    document's n-gram shingles of ``md5(i || '|' || shingle)`` — a MinHash
+    of the exact shingle set the Jaccard is computed on, so two documents
+    with Jaccard J share at least one of the ``n_blocks`` keys with
+    probability 1-(1-J)^n_blocks (>= 93% at J=0.5, n_blocks=4).  This keeps
+    the self-join an equi-join at corpus scale WITHOUT the recall collapse
+    of id-derived blocking (an id hash is uncorrelated with content, so true
+    near-dup pairs land in different blocks almost surely).
+
+    ``n_blocks`` = 0: exhaustive all-pairs — the verification/spec mode for
+    small candidate sets (e.g. downstream of an LSH pre-filter), never the
+    corpus-scale entry point."""
     g = df.select(F.col("doc_id"), ngram_set_col(text, n).alias("grams"))
-    if key_prefix_len:
-        g = g.withColumn("blk", F.substring(F.md5(F.col("doc_id").cast("string")), 1, key_prefix_len))
-        cond = (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if n_blocks:
+        keys = F.array(*[
+            F.array_min(
+                F.transform(
+                    F.col("grams"),
+                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)),
+                )
+            )
+            for i in range(n_blocks)
+        ])
+        g = g.select(
+            "doc_id", "grams",
+            F.posexplode(keys).alias("blk_idx", "blk"),
+        )
+        cond = (
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
     else:
         cond = F.col("a.doc_id") < F.col("b.doc_id")
     a, b = g.alias("a"), g.alias("b")
-    jac = F.size(F.array_intersect("a.grams", "b.grams")) / F.size(
-        F.array_union("a.grams", "b.grams")
-    )
-    return (
+    out = (
         a.join(b, cond)
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            "jaccard",
+            F.col("a.grams").alias("ga"),
+            F.col("b.grams").alias("gb"),
         )
+    )
+    if n_blocks:
+        out = out.dropDuplicates(["doc_a", "doc_b"])
+    return (
+        out.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -202,38 +237,67 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_col(text: str = "text", bits: int = 16) -> Column:
-    """Sign-sum SimHash: bit j of the fingerprint is 1 when the sum over
-    tokens of ±1 (sign taken from hex digit j of md5(token)) is positive.
-    Engine-portable: only md5, substring, and integer arithmetic."""
+def simhash_col(text: str = "text", bits: int = 64) -> Column:
+    """Sign-sum SimHash, up to 64 bits: the sign for bit j of a token is
+    bit ``j % 4`` of hex digit ``j // 4`` of ``md5(token)``; fingerprint
+    bit j is 1 when the signed sum over tokens is positive.
+
+    Single pass over the tokens: md5 is evaluated ONCE per token and all
+    ``bits`` counters update in one ``aggregate``/``zip_with`` walk (the
+    naive per-bit form re-hashes every token ``bits`` times).  Bit 63 uses
+    the two's-complement weight so a full 64-bit fingerprint fits a signed
+    long (xor/bit_count operate on the bit pattern regardless of sign).
+    Engine-portable: only md5, substring, and integer arithmetic — the
+    DuckDB oracle re-derives the identical value (naive form) at <= 32 bits.
+    """
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
     toks = distinct_tokens_col(text)
-    def bit(j):
-        contrib = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.substring(F.md5(t), j + 1, 1).isin(
-                    "0", "1", "2", "3", "4", "5", "6", "7"
-                ),
-                F.lit(-1),
-            ).otherwise(F.lit(1)),
-        )
-        return F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    hs = F.transform(toks, lambda t: F.md5(t))
 
-    bit_cols = [bit(j) for j in range(bits)]
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out.cast("long")
+    def signs(h: Column) -> Column:
+        out = []
+        for j in range(bits):
+            d, m = divmod(j, 4)
+            v = F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int")
+            out.append(
+                F.when(
+                    F.shiftright(v, m).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            )
+        return F.array(*out)
+
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, signs(h), lambda a, s: a + s),
+    )
+    weights = F.array(*[
+        F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        for j in range(bits)
+    ])
+    return F.aggregate(
+        F.zip_with(
+            counts, weights,
+            lambda c, w: F.when(c > 0, w).otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
-def simhash_segments(bits: int, max_hamming: int) -> list[tuple[int, int]]:
-    """(offset, width) per blocking segment: ``max_hamming + 1`` contiguous
-    segments so a pair within the hamming budget shares at least one
-    IDENTICAL segment (pigeonhole: k differing bits cannot touch all k+1
-    segments).  Two halves would only cover hamming <= 1."""
-    n_blocks = max_hamming + 1
+def simhash_segments(
+    bits: int, max_hamming: int, n_segments: int | None = None
+) -> list[tuple[int, int]]:
+    """(offset, width) per blocking segment.  ``n_segments`` defaults to
+    ``max_hamming + 1`` (pigeonhole: k differing bits cannot touch all k+1
+    segments, so some segment is identical); more segments enable
+    combination blocking (see ``simhash_block_combos``)."""
+    n_blocks = n_segments or (max_hamming + 1)
+    if n_blocks < max_hamming + 1:
+        raise ValueError("need at least max_hamming + 1 segments")
+    if n_blocks > bits:
+        raise ValueError("more segments than bits")
     base, extra = divmod(bits, n_blocks)
     segs, off = [], 0
     for i in range(n_blocks):
@@ -243,27 +307,65 @@ def simhash_segments(bits: int, max_hamming: int) -> list[tuple[int, int]]:
     return segs
 
 
-def simhash_near_dups(df: DataFrame, text: str = "text", bits: int = 16,
-                      max_hamming: int = 2) -> DataFrame:
-    """Near-dups by SimHash Hamming distance; candidate generation blocks on
-    ``max_hamming + 1`` bit-segments (see ``simhash_segments``)."""
+def simhash_block_combos(
+    bits: int, max_hamming: int, n_segments: int | None = None
+) -> list[list[tuple[int, int]]]:
+    """Combination blocking keys (Manku/Jarvelin-style): split the
+    fingerprint into ``n_segments`` segments and key each candidate table on
+    a combination of ``n_segments - max_hamming`` of them.  A pair within
+    the hamming budget dirties at most ``max_hamming`` segments, so the
+    combination made of the clean segments matches exactly.  Wider combined
+    keys (e.g. 5 x 8 bits = 40 bits at 64/8/3) shrink random collisions
+    from per-segment 2^-8 to 2^-40 at the cost of C(8,5)=56 tables — the
+    production trade-off for 10^9-doc corpora, vs the max_hamming+1
+    single-segment scheme whose narrow blocks degenerate toward cartesian."""
+    import itertools
+
+    segs = simhash_segments(bits, max_hamming, n_segments)
+    take = len(segs) - max_hamming
+    return [list(c) for c in itertools.combinations(segs, take)]
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text: str = "text",
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_segments: int | None = None,
+) -> DataFrame:
+    """Near-dups by SimHash Hamming distance; candidate generation joins on
+    combination blocking keys (``simhash_block_combos``).  Defaults are the
+    production configuration: 64-bit fingerprint, hamming <= 3, 8 segments
+    → 56 tables of 40-bit keys.  ``n_segments=None`` with a small ``bits``
+    falls back to ``max_hamming + 1`` single-segment blocks (the
+    oracle-checkable configuration)."""
+    if n_segments is None:
+        n_segments = 8 if bits >= 64 else max_hamming + 1
     s = df.select(F.col("doc_id"), simhash_col(text, bits).alias("sh"))
-    seg_keys = [
-        F.concat(
-            F.lit(f"S{i}:"),
-            (F.shiftright(F.col("sh"), off).bitwiseAND((1 << w) - 1))
-            .cast("string"),
+
+    def seg_val(off: int, w: int) -> Column:
+        # logical shift: sign bit of a full 64-bit fingerprint must not smear
+        return F.shiftrightunsigned(F.col("sh"), off).bitwiseAND(
+            F.lit((1 << w) - 1)
         )
-        for i, (off, w) in enumerate(simhash_segments(bits, max_hamming))
+
+    combo_keys = [
+        F.concat_ws(
+            "|", F.lit(f"C{i}"),
+            *[seg_val(off, w).cast("string") for off, w in combo],
+        )
+        for i, combo in enumerate(
+            simhash_block_combos(bits, max_hamming, n_segments)
+        )
     ]
     keyed = s.select(
-        "doc_id", "sh", F.explode(F.array(*seg_keys)).alias("blk")
+        "doc_id", "sh", F.explode(F.array(*combo_keys)).alias("blk")
     )
     a, b = keyed.alias("a"), keyed.alias("b")
-    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
-    ham = F.bit_count(xor)
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

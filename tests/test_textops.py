@@ -82,3 +82,122 @@ def test_fingerprint_groups_dups(spark):
     assert rows[0].doc_md5 == rows[1].doc_md5
     assert rows[0].min_shingle == rows[1].min_shingle
     assert rows[0].doc_md5 != rows[3].doc_md5
+
+
+def test_ngram_blocking_is_content_keyed(spark):
+    """Recall property: planted near-dup pairs must be found regardless of
+    how doc_ids are assigned (id-derived blocking would scatter them)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    # adversarial ids: widely spread, odd/even split, big gaps
+    for k, (ia, ib) in enumerate([(1, 999983), (7, 123457), (42, 765431),
+                                  (100, 31337), (555, 888888)]):
+        text_a = f"{base} lambda{k} mu{k} nu{k}"
+        text_b = f"{base} lambda{k} mu{k} xi{k}"      # high overlap near-dup
+        rows += [(ia, text_a), (ib, text_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in
+           ngram_jaccard_pairs(df, n=3, threshold=0.5, n_blocks=4).collect()}
+    for ia, ib in [(1, 999983), (7, 123457), (42, 765431),
+                   (100, 31337), (555, 888888)]:
+        assert (min(ia, ib), max(ia, ib)) in got
+    # blocked mode must agree with exhaustive verification on these pairs
+    exhaustive = {(r.doc_a, r.doc_b) for r in
+                  ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()}
+    assert got == exhaustive
+
+
+def test_simhash_64bit_matches_naive(spark):
+    """The single-pass 64-bit fingerprint equals the per-bit definition."""
+    import hashlib
+
+    from kgpipe.textops import simhash_col
+
+    def naive(text, bits=64):
+        toks = []
+        for t in text.split():
+            if t and t not in toks:
+                toks.append(t)
+        counts = [0] * bits
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(bits):
+                d, m = divmod(j, 4)
+                bit = (int(h[d], 16) >> m) & 1
+                counts[j] += 1 if bit else -1
+        out = 0
+        for j in range(bits):
+            if counts[j] > 0:
+                out += (1 << j) if j < 63 else -(1 << 63)
+        return out
+
+    df = _docs(spark)
+    got = {r.doc_id: r.sh for r in
+           df.select("doc_id", simhash_col(bits=64).alias("sh")).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == naive(text), doc_id
+
+
+def test_simhash_64bit_candidate_count_bounded(spark):
+    """Scale assertion (VERDICT next-round #5): on a 10^5-doc synthetic
+    corpus the 64-bit / 8-segment combination blocking produces a bounded
+    candidate set (no near-cartesian collapse), while still recalling
+    planted exact duplicates."""
+    from kgpipe.textops import simhash_block_combos, simhash_col
+
+    n = 100_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(9)),
+                lambda i: F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit("|"),
+                                   i.cast("string"))),
+                    1, 6,
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    # plant 50 exact duplicates with far-apart ids
+    dups = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    df = base.unionByName(dups)
+
+    bits, h, n_seg = 64, 3, 8
+    s = df.select("doc_id", simhash_col(bits=bits).alias("sh"))
+
+    def seg_val(off, w):
+        return F.shiftrightunsigned(F.col("sh"), off).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    combo_keys = [
+        F.concat_ws("|", F.lit(f"C{i}"),
+                    *[seg_val(off, w).cast("string") for off, w in combo])
+        for i, combo in enumerate(simhash_block_combos(bits, h, n_seg))
+    ]
+    keyed = s.select("doc_id",
+                     F.explode(F.array(*combo_keys)).alias("blk")).persist()
+    n_cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"),
+              (F.col("a.blk") == F.col("b.blk"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    keyed.unpersist()
+    # 56 tables x C(1e5,2) x ~(0.53)^40 expected collisions ≈ O(10);
+    # anything near-cartesian would be ~10^9.  Generous bound:
+    assert n_cand < 20_000, n_cand
+    # recall: all 50 planted exact-dup pairs must be candidates
+    from kgpipe.textops import simhash_near_dups
+
+    found = {(r.doc_a, r.doc_b) for r in
+             simhash_near_dups(df, bits=64, max_hamming=3).collect()}
+    for i in range(50):
+        assert (i, i + 1_000_000) in found
