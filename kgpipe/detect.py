@@ -44,7 +44,12 @@ def build_dictionary_df(
     for ontology, path in sorted(obo_paths.items()):
         cfg = (configs or {}).get(ontology) or config_for(ontology)
         all_rows.extend(dictionary_rows(parse_ontology(path), ontology, cfg))
-    return spark.createDataFrame(all_rows, schema=schemas.DICTIONARY)
+    df = spark.createDataFrame(all_rows, schema=schemas.DICTIONARY)
+    # the rows already live on the driver — let collect_dictionary skip the
+    # driver→executor→driver round trip (a fixed seconds-scale job that
+    # erodes scaling efficiency; parquet-sourced dictionaries still collect)
+    df._kgpipe_local_rows = all_rows  # type: ignore[attr-defined]
+    return df
 
 
 def build_tries(
@@ -67,7 +72,13 @@ def build_tries(
 def collect_dictionary(dictionary: DataFrame) -> list[dict]:
     """Collect the (ontology-sized) dictionary once; reusable across the
     trie build, canonicalization, and Mayla label maps without re-running
-    the dictionary job per stage."""
+    the dictionary job per stage.  DataFrames produced by
+    ``build_dictionary_df`` carry their driver-side rows and skip the
+    collect job entirely (any transformation drops the attribute, so a
+    filtered/modified dictionary falls back to a real collect)."""
+    rows = getattr(dictionary, "_kgpipe_local_rows", None)
+    if rows is not None:
+        return rows
     return [r.asDict() for r in dictionary.collect()]
 
 

@@ -88,12 +88,18 @@ def tfidf_scores(mentions: DataFrame, exact: bool = False) -> DataFrame:
     Fully lazy: the corpus size N enters as a broadcast 1-row join rather
     than a driver-side ``count()`` action, so calling this never triggers a
     premature (and possibly duplicated) execution of the upstream plan."""
-    cd = F.countDistinct("conv_id") if exact else F.approx_count_distinct("conv_id")
-    n_convs_df = mentions.agg(cd.alias("n_convs"))
     tf = mentions.groupBy("conv_id", "concept_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df = mentions.groupBy("concept_id").agg(cd.alias("df"))
+    # df and N derive from the (small) tf aggregate instead of re-scanning
+    # the corpus: a tf row IS one distinct (conv, concept) pair, so
+    # count-per-concept == countDistinct(conv) and distinct convs in tf ==
+    # distinct convs with mentions.  ONE corpus-scale shuffle instead of
+    # three (Catalyst's ReuseExchange shares the tf exchange across the
+    # three consumers).
+    cd = F.countDistinct("conv_id") if exact else F.approx_count_distinct("conv_id")
+    n_convs_df = tf.agg(cd.alias("n_convs"))
+    df = tf.groupBy("concept_id").agg(F.count(F.lit(1)).cast("long").alias("df"))
     return (
         tf.join(df, "concept_id")
         .join(F.broadcast(n_convs_df))
@@ -141,21 +147,43 @@ def embedding_disambiguate(
     )
 
 
-def tfidf_disambiguate(mentions: DataFrame) -> DataFrame:
+def tfidf_disambiguate(mentions: DataFrame, exact: bool = False) -> DataFrame:
     """Resolve span-ambiguous mentions (same (conv, turn, begin, end), several
     concept ids — shared synonyms): keep the candidate with the highest
     conversation-level TF-IDF support; ties break on concept_id for
-    determinism.  One window over the span key + one broadcast-able score
-    join; no Python."""
-    scores = tfidf_scores(mentions).select("conv_id", "concept_id", "tfidf")
-    m = mentions.join(scores, ["conv_id", "concept_id"], "left").fillna(
-        {"tfidf": 0.0}
+    determinism.
+
+    ONE corpus-scale exchange: mentions repartition on conv_id, then
+    - TF as a window count over (conv_id, concept_id) — satisfied by the
+      conv_id clustering, so it costs a local sort, not a shuffle;
+    - DF (concepts × distinct convs) and N (distinct convs) aggregate off
+      the SAME exchange (Catalyst ReuseExchange) down to ontology-/1-sized
+      results that broadcast back onto the stream;
+    - the span-ambiguity window (conv, turn, begin, end) is again satisfied
+      by the conv_id clustering — local sort only.
+    The output stays hash-partitioned by conv_id, which downstream
+    conversation-keyed operators (co-occurrence banded join, per-conv
+    aggregations) inherit without further exchanges."""
+    m = mentions.repartition("conv_id")
+    cd = F.countDistinct("conv_id") if exact else F.approx_count_distinct("conv_id")
+    df_small = m.groupBy("concept_id").agg(cd.alias("__df"))
+    n_row = m.agg(cd.alias("__n"))
+    w_tf = Window.partitionBy("conv_id", "concept_id")
+    scored = (
+        m.withColumn("__tf", F.count(F.lit(1)).over(w_tf))
+        .join(F.broadcast(df_small), "concept_id", "left")
+        .join(F.broadcast(n_row))
+        .withColumn(
+            "__tfidf",
+            F.col("__tf")
+            * F.log((F.col("__n").cast("double") + 1.0) / (F.col("__df") + 1.0)),
+        )
     )
     w = Window.partitionBy("conv_id", "turn_idx", "begin", "end").orderBy(
-        F.desc("tfidf"), F.asc("concept_id")
+        F.desc("__tfidf"), F.asc("concept_id")
     )
     return (
-        m.withColumn("__rank", F.row_number().over(w))
+        scored.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") == 1)
-        .drop("__rank", "tfidf")
+        .drop("__rank", "__tf", "__df", "__n", "__tfidf")
     )
