@@ -494,6 +494,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select("conv_id", "turn_idx", "concept_id", "begin",
                            "end", "covered_text")
 
+    def q_mayla_ns_freq(spark, sf_dir):
+        # per-ontology thresholds (MaylaPostProcessingComponent.java:151-181
+        # analogue): concept → namespace spread over CL/CHEBI/PR/SO/GO_MF
+        from kgpipe.disambig import MAYLA_CONCEPT_FREQ
+
+        m = _mentions(spark, sf_dir).withColumn(
+            "ontology",
+            F.when(F.col("concept_id") == "T:0001", F.lit("CL"))
+            .when(F.col("concept_id") == "T:0002", F.lit("CHEBI"))
+            .when(F.col("concept_id") == "T:0003", F.lit("PR"))
+            .when(F.col("concept_id") == "T:0004", F.lit("SO"))
+            .otherwise(F.lit("GO_MF")),
+        ).withColumn("error", F.lit(None).cast("string"))
+        kept = mayla_filter(
+            m, _transcripts(spark, sf_dir), _tech_dictionary(spark),
+            concept_freq=MAYLA_CONCEPT_FREQ,
+        )
+        return kept.select("conv_id", "turn_idx", "concept_id", "begin",
+                           "end", "covered_text")
+
     def q_tfidf_support(spark, sf_dir):
         return tfidf_scores(_mentions(spark, sf_dir), exact=True).select(
             "conv_id", "concept_id", "tf", "df"
@@ -862,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_strict": q_eval_strict,
         "eval_summary": q_eval_summary,
         "mayla_freq": q_mayla_freq,
+        "mayla_ns_freq": q_mayla_ns_freq,
         "mayla_nofreq": q_mayla_nofreq,
         "tfidf_support": q_tfidf_support,
         "connected_components": q_connected_components,
@@ -1000,6 +1021,25 @@ SELECT conv_id, turn_idx, concept_id, begin, "end", covered_text
 FROM joined
 WHERE ((length(text) - length(replace(text, covered_text, '')))
         / length(covered_text))::int >= 2
+   OR covered_text = label""",
+        "mayla_ns_freq": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+canon(cid, label) AS (VALUES
+  ('T:0001','Spark Engine'), ('T:0002','Window Operator'),
+  ('T:0003','Vector Value'), ('T:0004','Fast Table'),
+  ('T:0005','Customer Entity')),
+joined AS (
+  SELECT m.*, t.text, c.label,
+         CASE m.concept_id WHEN 'T:0001' THEN 2 WHEN 'T:0002' THEN 4
+              WHEN 'T:0003' THEN 40 WHEN 'T:0004' THEN 1 ELSE 4 END AS thr
+  FROM mentions m
+  JOIN transcripts t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+  LEFT JOIN canon c ON m.concept_id = c.cid
+)
+SELECT conv_id, turn_idx, concept_id, begin, "end", covered_text
+FROM joined
+WHERE ((length(text) - length(replace(text, covered_text, '')))
+        / length(covered_text))::int >= thr
    OR covered_text = label""",
         "mayla_nofreq": f"""
 WITH {_SQL_MENTIONS.lstrip()},

@@ -35,8 +35,9 @@ def mayla_filter(
     mentions: DataFrame,
     transcripts: DataFrame,
     dictionary: DataFrame,
-    concept_freq: Optional[int] = None,
+    concept_freq: Optional[int | dict[str, int]] = None,
     annotator_col: Optional[str] = None,
+    default_freq: int = 1,
 ) -> DataFrame:
     """Keep/drop semantics of ``MaylaPostProcessingComponent.java:97-125``:
 
@@ -46,7 +47,13 @@ def mayla_filter(
     - freq mode: DROP when (surface frequency in the turn text
       < concept_freq) AND surface != canonical label.
 
-    Per-namespace thresholds live in ``MAYLA_CONCEPT_FREQ`` below.
+    ``concept_freq`` may be a single int or a per-ontology threshold map
+    keyed by the mentions' ``ontology`` column (the reference selects the
+    threshold per ontology namespace,
+    ``MaylaPostProcessingComponent.java:151-181`` — those values live in
+    ``MAYLA_CONCEPT_FREQ`` below); ontologies absent from the map fall back
+    to ``default_freq`` (1 = always keep, since a covered surface occurs in
+    its own turn at least once).
     """
     text_src = transcripts.select("conv_id", "turn_idx", "text")
     m = mentions.join(text_src, ["conv_id", "turn_idx"], "left")
@@ -66,8 +73,16 @@ def mayla_filter(
     if concept_freq is None:
         keep = is_gold | is_all_upper | starts_upper
     else:
+        if isinstance(concept_freq, dict):
+            pairs = [x for kv in sorted(concept_freq.items()) for x in kv]
+            thr = F.coalesce(
+                F.create_map(*[F.lit(x) for x in pairs])[F.col("ontology")],
+                F.lit(default_freq),
+            )
+        else:
+            thr = F.lit(concept_freq)
         freq = _substring_count(F.col("text"), surface)
-        keep = is_gold | (freq >= F.lit(concept_freq)) | (surface == F.col("canonical"))
+        keep = is_gold | (freq >= thr) | (surface == F.col("canonical"))
 
     return m.filter(keep).select(*mentions.columns)
 

@@ -224,12 +224,20 @@ def dictionary_rows(
     ontology: str,
     config: MatchConfig,
     modifier: Optional[EntryModifier] = None,
+    min_variant_len: int = 3,
 ) -> list[dict]:
     """Flatten Terms into dictionary rows
     ``(ontology, concept_id, canonical, variant, is_official, variant_norm)``
     — schema per SURVEY.md §1.2.  Obsolete terms are excluded (the reference
     dictionary builder skips them).  SynonymType knob: EXACT_ONLY keeps only
-    EXACT-scope synonyms (+ the canonical name); ALL keeps every scope."""
+    EXACT-scope synonyms (+ the canonical name); ALL keeps every scope.
+
+    ``min_variant_len``: variants shorter than 3 characters are excluded,
+    matching the reference's dictionary builder (OboToDictionary in the
+    public UCDenver-ccp ccp-nlp library, wired at
+    ``ConceptMapperDictionaryFileFactory.java:280-283``) — two-letter
+    acronym synonyms like DOID:768 "RB" otherwise match author initials
+    (the calibrated DOID precision gap in tests/test_parity.py)."""
     if modifier is None:
         modifier = MODIFIERS_BY_NAMESPACE.get(ontology)
     rows: list[dict] = []
@@ -248,7 +256,7 @@ def dictionary_rows(
         for text, scope in variants:
             if config.synonym_type == SYN_EXACT_ONLY and scope != "EXACT":
                 continue
-            if not text or text in seen:
+            if not text or text in seen or len(text) < min_variant_len:
                 continue
             seen.add(text)
             rows.append(

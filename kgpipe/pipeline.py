@@ -31,7 +31,8 @@ class PipelineConfig:
     run_key: str = "CONCEPTMAPPER_DEFAULT"
     cooc_window: int = 3
     mayla: bool = False
-    mayla_concept_freq: Optional[int] = None
+    # int, or per-ontology threshold map (e.g. disambig.MAYLA_CONCEPT_FREQ)
+    mayla_concept_freq: Optional[int | dict] = None
     disambiguate: bool = True
     canonical: bool = True
     n_buckets: int = 64

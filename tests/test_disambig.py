@@ -80,3 +80,53 @@ def test_tfidf_disambiguate_resolves_shared_span(spark):
     picked = {(r.turn_idx, r.begin): r.concept_id for r in out.collect()}
     assert picked[(0, 0)] == "SYN:A"
     assert out.count() == 3  # one winner per distinct span
+
+
+def test_mayla_per_namespace_thresholds(spark):
+    """Truth table for the per-ontology threshold map
+    (MaylaPostProcessingComponent.java:151-181 analogue): the same surface
+    frequency passes one namespace's threshold and fails another's, the
+    canonical-label escape hatch applies per concept, and unmapped
+    ontologies fall back to default_freq."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.disambig import mayla_filter
+
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user", "foo foo bar baz qux", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    ddf = spark.createDataFrame(
+        [
+            ("A", "A:1", "Foo Label", "foo", True, "foo"),
+            ("B", "B:1", "Bar Label", "bar", True, "bar"),
+            ("B", "B:2", "baz", "baz", True, "baz"),
+            ("C", "C:1", "Qux Label", "qux", True, "qux"),
+        ],
+        "ontology string, concept_id string, canonical string,"
+        " variant string, is_official boolean, variant_norm string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            # freq(foo)=2: A threshold 2 → keep
+            ("c1", 0, "A", "A:1", 0, 3, "foo", None),
+            # freq(bar)=1: B threshold 3, surface != canonical → drop
+            ("c1", 0, "B", "B:1", 8, 11, "bar", None),
+            # freq(baz)=1 < 3 but surface == canonical label → keep
+            ("c1", 0, "B", "B:2", 12, 15, "baz", None),
+            # ontology C unmapped → default_freq=1 → keep
+            ("c1", 0, "C", "C:1", 16, 19, "qux", None),
+        ],
+        "conv_id string, turn_idx int, ontology string, concept_id string,"
+        " begin int, end int, covered_text string, error string",
+    )
+    kept = {r.concept_id for r in
+            mayla_filter(mentions, tdf, ddf,
+                         concept_freq={"A": 2, "B": 3}).collect()}
+    assert kept == {"A:1", "B:2", "C:1"}
+    # stricter default for unmapped namespaces drops C too
+    kept2 = {r.concept_id for r in
+             mayla_filter(mentions, tdf, ddf, concept_freq={"A": 2, "B": 3},
+                          default_freq=5).collect()}
+    assert kept2 == {"A:1", "B:2"}

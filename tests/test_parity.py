@@ -2,7 +2,9 @@
 end-to-end test (``EntityFinderTest.java:86-144``) runs EntityFinder on
 article 17608565 with cl-basic.obo / doid.obo and checks the emitted `.a1`
 annotations.  We require P/R >= 0.95 strict-span+concept (BASELINE.json);
-CL currently achieves P=R=1.0, DOID P>=0.96 R=1.0.
+CL and DOID both achieve P=R=1.0 (the round-1 DOID precision gap was
+two-letter acronym synonyms matching author initials; excluded by the
+reference dictionary builder's 3-char minimum term length).
 """
 
 from __future__ import annotations
@@ -44,6 +46,9 @@ def test_doid_parity():
     gold = load_a1(DOID_A1)
     p, r, f = prf(mine, gold)
     assert p >= 0.95 and r >= 0.95, (p, r)
+    # calibrated: min-variant-length 3 (OboToDictionary parity) gives
+    # perfect agreement here too
+    assert p == 1.0 and r == 1.0
 
 
 def test_configured_cl_matches_calibration():
