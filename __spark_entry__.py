@@ -845,6 +845,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(e, queries_df, k=5, n_probe=4,
                         centroids=centroids).select("q_id", "vec_id", "rank")
 
+    def q_markup_strip(spark, sf_dir):
+        # PmcDocumentConverterAE analogue: markup-wrapped turns → clean text
+        # with offset map; first_raw checks the clean→raw anchor of offset 0
+        from kgpipe.markup import strip_markup_turns
+
+        d = _docs(spark, sf_dir)
+        t = d.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(
+                F.lit('<p id="d'), F.col("doc_id").cast("string"),
+                F.lit('"><b>'), F.replace("text", F.lit("the"), F.lit("&amp;")),
+                F.lit("</b></p>"),
+            ).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        s = strip_markup_turns(t)
+        return s.select(
+            "conv_id",
+            F.col("text").alias("clean"),
+            F.col("segs")[0]["r"].alias("first_raw"),
+            (F.length("raw_text") - F.length("text")).cast("int")
+            .alias("n_removed"),
+        )
+
     def q_media_features(spark, sf_dir):
         from kgpipe.multimodal import extract_features
 
@@ -916,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_disambig": q_embedding_disambig,
         "frame_sample": q_frame_sample,
+        "markup_strip": q_markup_strip,
         "media_features": q_media_features,
     }
 
@@ -1380,6 +1408,25 @@ r AS (
               ORDER BY s DESC, concept_id ASC) AS rn
   FROM scored)
 SELECT conv_id, turn_idx, concept_id, begin, "end" FROM r WHERE rn = 1""",
+        "markup_strip": """
+WITH raw AS (
+  SELECT doc_id::varchar AS conv_id,
+         '<p id="d' || doc_id::varchar || '"><b>'
+           || replace(text, 'the', '&amp;') || '</b></p>' AS raw_text
+  FROM documents
+),
+c AS (
+  SELECT conv_id, raw_text,
+         replace(replace(replace(replace(replace(
+           regexp_replace(raw_text, '<[^>]*>', '', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+           '&amp;', '&') AS clean
+  FROM raw
+)
+SELECT conv_id, clean,
+       (13 + length(conv_id))::int AS first_raw,
+       (length(raw_text) - length(clean))::int AS n_removed
+FROM c""",
         "media_features": """
 SELECT doc_id::varchar AS media_id, 'image' AS modality,
        strlen(text)::int AS n_bytes,
