@@ -845,6 +845,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(e, queries_df, k=5, n_probe=4,
                         centroids=centroids).select("q_id", "vec_id", "rank")
 
+    def q_conv_metadata(spark, sf_dir):
+        # PmcMetadataImportAE analogue: per-conversation metadata derived
+        # from the source table (scalar projection for the hash compare)
+        from kgpipe.sources import import_metadata
+
+        meta = import_metadata(_transcripts(spark, sf_dir))
+        return meta.select(
+            "conv_id", "n_turns", "first_turn", "last_turn",
+            F.size("roles").alias("n_roles"),
+        )
+
     def q_markup_strip(spark, sf_dir):
         # PmcDocumentConverterAE analogue: markup-wrapped turns → clean text
         # with offset map; first_raw checks the clean→raw anchor of offset 0
@@ -943,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_disambig": q_embedding_disambig,
         "frame_sample": q_frame_sample,
+        "conv_metadata": q_conv_metadata,
         "markup_strip": q_markup_strip,
         "media_features": q_media_features,
     }
@@ -1408,6 +1420,12 @@ r AS (
               ORDER BY s DESC, concept_id ASC) AS rn
   FROM scored)
 SELECT conv_id, turn_idx, concept_id, begin, "end" FROM r WHERE rn = 1""",
+        "conv_metadata": f"""
+WITH {_SQL_TRANSCRIPTS.lstrip()}
+SELECT conv_id, count(*) AS n_turns,
+       min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
+       count(DISTINCT role)::int AS n_roles
+FROM transcripts GROUP BY conv_id""",
         "markup_strip": """
 WITH raw AS (
   SELECT doc_id::varchar AS conv_id,

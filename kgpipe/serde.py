@@ -173,3 +173,49 @@ def load_generic_annotations(
     if score_cutoff is not None:
         df = df.filter(F.col("score") >= F.lit(score_cutoff))
     return df
+
+
+def write_annot_files(
+    mentions: DataFrame,
+    path: str,
+    annotator_name: str = "kgpipe",
+    compress: bool = False,
+    infix: str | None = None,
+) -> str:
+    """AnnotationSerializerAE sink: JSON-lines ``.annot(.gz)`` output.
+    ``compress`` maps to the gzip codec option
+    (``AnnotationSerializerAE.java:121-124``); ``infix`` renders the
+    reference's ``<docId>-<infix>.annot`` filename templating
+    (``AnnotationSerializerAE.java:272-278``) as a destination-directory
+    suffix, the table-sink equivalent of per-file naming.  Returns the
+    resolved destination path."""
+    out = mentions_to_annot_json(mentions, annotator_name)
+    dest = path if infix is None else f"{path.rstrip('/')}-{infix}"
+    writer = out.write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.text(dest)
+    return dest
+
+
+def write_document_text(
+    transcripts: DataFrame, path: str, compress: bool = False
+) -> None:
+    """DocumentTextSerializerAE analogue
+    (``PmcNxml2TxtPipeline.java:122-126``): per-turn text sink with
+    optional gzip parquet codec."""
+    out = transcripts.select(
+        F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
+        .alias("doc_id"),
+        "text",
+    )
+    writer = out.write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.parquet(path)
+
+
+def write_document_metadata(metadata: DataFrame, path: str) -> None:
+    """DocumentMetaDataSerializerAE analogue
+    (``PmcNxml2TxtPipeline.java:164-167``): side metadata table sink."""
+    metadata.write.mode("overwrite").parquet(path)

@@ -107,3 +107,28 @@ def load_catalog(
     return joined.withColumn("dir1", F.substring(h, 1, 2)).withColumn(
         "dir2", F.substring(h, 3, 2)
     )
+
+
+def import_metadata(transcripts: DataFrame) -> DataFrame:
+    """PmcMetadataImportAE analogue (``PmcNxml2TxtPipeline.java:106-107``):
+    derive per-conversation metadata from the source table itself
+    (select/withColumn — SURVEY.md §2.1): turn count and range, roles and
+    tools present, time span.  One partial-aggregated groupBy on conv_id."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+        F.array_sort(F.collect_set("role")).alias("roles"),
+        F.array_sort(F.collect_set("tool")).alias("tools"),
+        F.min("ts").alias("started_at"),
+        F.max("ts").alias("ended_at"),
+    )
+
+
+def get_conversation(transcripts: DataFrame, conv_id: str) -> DataFrame:
+    """Point lookup by conversation id
+    (``Neo4jRunCatalog.getDocumentById``, ``Neo4jRunCatalog.java:533-560``;
+    the Neo4j index at ``:124-135``): a plain filter — on a
+    bucket(conv_id)-partitioned table the predicate prunes to one
+    partition, the Spark-native equivalent of the reference's index."""
+    return transcripts.filter(F.col("conv_id") == conv_id).orderBy("turn_idx")

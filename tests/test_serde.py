@@ -86,3 +86,59 @@ def test_generic_tsv_loader_score_cutoff(spark, tmp_path):
     assert load_generic_annotations(spark, str(p)).count() == 3
     # reference fixture: cutoff 1000 keeps 1 (GenericAnnotationTest.java:154)
     assert load_generic_annotations(spark, str(p), score_cutoff=1000).count() == 1
+
+
+def test_annot_gz_roundtrip(spark, tmp_path):
+    """Gzip .annot sink exercised end-to-end (AnnotationSerializerAE.java:
+    121-124 codec + :272-278 infix templating): write compressed, read
+    back, identical mention set."""
+    import glob
+
+    from kgpipe.serde import annot_json_to_mentions, write_annot_files
+
+    mentions = spark.createDataFrame(
+        [("c1", 0, "CL:0000540", 4, 10, "neuron"),
+         ("c1", 1, "CL:0000057", 2, 12, "fibroblast"),
+         ("c2", 0, "CL:0000540", 0, 6, "neuron")],
+        "conv_id string, turn_idx int, concept_id string, begin int,"
+        " end int, covered_text string",
+    )
+    dest = write_annot_files(mentions, str(tmp_path / "annot"),
+                             compress=True, infix="CL")
+    assert dest.endswith("annot-CL")
+    gz = glob.glob(dest + "/*.txt.gz")
+    assert gz, "expected gzip-compressed part files"
+    back = annot_json_to_mentions(spark, dest)
+    key = ["conv_id", "turn_idx", "concept_id", "begin", "end",
+           "covered_text"]
+    assert ({tuple(r) for r in back.select(*key).collect()}
+            == {tuple(r) for r in mentions.select(*key).collect()})
+
+
+def test_document_text_and_metadata_sinks(spark, tmp_path):
+    from kgpipe.serde import write_document_metadata, write_document_text
+    from kgpipe.sources import get_conversation, import_metadata
+
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user", "hello", None, None),
+         ("c1", 1, "assistant", "hi there", "search", None),
+         ("c2", 5, "user", "solo", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    write_document_text(tdf, str(tmp_path / "txt"), compress=True)
+    txt = spark.read.parquet(str(tmp_path / "txt"))
+    assert {(r.doc_id, r.text) for r in txt.collect()} == {
+        ("c1:0", "hello"), ("c1:1", "hi there"), ("c2:5", "solo")}
+
+    meta = import_metadata(tdf)
+    write_document_metadata(meta, str(tmp_path / "meta"))
+    m = {r.conv_id: r for r in
+         spark.read.parquet(str(tmp_path / "meta")).collect()}
+    assert m["c1"].n_turns == 2 and m["c1"].first_turn == 0
+    assert m["c1"].roles == ["assistant", "user"]
+    assert m["c1"].tools == ["search"]
+    assert m["c2"].last_turn == 5
+
+    one = get_conversation(tdf, "c1").collect()
+    assert [r.turn_idx for r in one] == [0, 1]
