@@ -175,14 +175,18 @@ def tfidf_disambiguate(mentions: DataFrame, exact: bool = False) -> DataFrame:
       the SAME exchange (Catalyst ReuseExchange) down to ontology-/1-sized
       results that broadcast back onto the stream;
     - the span-ambiguity window (conv, turn, begin, end) is again satisfied
-      by the conv_id clustering — local sort only.
-    The output stays hash-partitioned by conv_id, which downstream
-    conversation-keyed operators (co-occurrence banded join, per-conv
-    aggregations) inherit without further exchanges."""
+      by the conv_id clustering — local sort only (plan-audited: both
+      Windows sit on the one REPARTITION_BY_COL exchange).
+    The output stays hash-partitioned by conv_id; downstream windows and
+    per-conv aggregations with conv-prefixed keys reuse the clustering
+    (equi-joins still insert their own exact-key exchanges)."""
     m = mentions.repartition("conv_id")
     cd = F.countDistinct("conv_id") if exact else F.approx_count_distinct("conv_id")
-    df_small = m.groupBy("concept_id").agg(cd.alias("__df"))
-    n_row = m.agg(cd.alias("__n"))
+    # aggregate straight off the (cached) mention stream — routing these
+    # through the conv_id repartition would add a useless exchange under
+    # each tiny aggregate (audited via .explain)
+    df_small = mentions.groupBy("concept_id").agg(cd.alias("__df"))
+    n_row = mentions.agg(cd.alias("__n"))
     w_tf = Window.partitionBy("conv_id", "concept_id")
     scored = (
         m.withColumn("__tf", F.count(F.lit(1)).over(w_tf))

@@ -49,9 +49,18 @@ class PipelineConfig:
 
 
 def build_mentions(
-    transcripts: DataFrame, dictionary: DataFrame, cfg: PipelineConfig
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    cfg: PipelineConfig,
+    cache_registry: Optional[list] = None,
 ) -> DataFrame:
-    """transcripts → mentions with the configured post-processing chain."""
+    """transcripts → mentions with the configured post-processing chain.
+
+    When ``cfg.disambiguate``, the detect output is persisted before
+    ``tfidf_disambiguate`` — its DF/N aggregations are separate consumers
+    of the mention stream, and without a cache each one re-runs the Python
+    detection stage.  Persisted frames are appended to *cache_registry*
+    (when given) so the caller can unpersist after its terminal action."""
     if cfg.salt_partitions:
         # salted repartition before per-conversation work: conv_id plus a
         # random-ish salt derived from turn_idx spreads hot conversations
@@ -77,6 +86,9 @@ def build_mentions(
             mentions, transcripts, dictionary, cfg.mayla_concept_freq
         )
     if cfg.disambiguate:
+        mentions = mentions.persist()
+        if cache_registry is not None:
+            cache_registry.append(mentions)
         mentions = tfidf_disambiguate(mentions)
     if cfg.canonical:
         mentions = canonicalize(mentions, dictionary)
@@ -160,26 +172,30 @@ def run_pipeline(
             cached.unpersist()
         return triples
 
+    caches: list[DataFrame] = []
+
     def _stage(tdf: DataFrame):
-        mentions = build_mentions(tdf, dictionary, cfg)
+        mentions = build_mentions(tdf, dictionary, cfg, cache_registry=caches)
         triples = all_triples(
             tdf, mentions.filter(mentions["concept_id"] != "__ERROR__"),
             concept_col=concept_col, cooc_window=cfg.cooc_window,
         )
         return mentions, triples
 
-    if lineage_path:
-        return run_with_lineage(
-            spark, transcripts, _stage, cfg.run_key, lineage_path,
-            output_path, cfg.n_buckets,
-        )
-    mentions, triples = _stage(transcripts)
-    mentions.persist()  # triple fan-out reads mentions multiple times
     try:
+        if lineage_path:
+            return run_with_lineage(
+                spark, transcripts, _stage, cfg.run_key, lineage_path,
+                output_path, cfg.n_buckets,
+            )
+        mentions, triples = _stage(transcripts)
+        mentions.persist()  # triple fan-out reads mentions multiple times
+        caches.append(mentions)
         write_triples(triples, output_path, cfg.n_buckets, mode="overwrite")
+        return triples
     finally:
-        mentions.unpersist()
-    return triples
+        for df in caches:
+            df.unpersist()
 
 
 def main(argv: Optional[list[str]] = None) -> None:
