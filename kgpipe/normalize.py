@@ -31,6 +31,89 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
 
 
+# ---------------------------------------------------------------------------
+# Penn Treebank tokenizer (offset-preserving)
+# ---------------------------------------------------------------------------
+# The reference ships the MorphAdorner variant of Robert McIntyre's public
+# PTB tokenizer.sed rewrite cascade (``PennTreebankTokenizer.java:28-60``,
+# itself "based upon the sed script ... at
+# http://www.cis.upenn.edu/~treebank/tokenizer.sed") to back the
+# BIOLEMMATIZER normalization path.  Every rule in the cascade only INSERTS
+# whitespace or collapses existing whitespace — token characters are never
+# altered — so tokens of the rewritten string are contiguous substrings of
+# the original, and offsets are recoverable by a single left-to-right
+# alignment pass.  Rules below follow the cascade's exact order.
+
+_PTB_RULES: list[tuple[re.Pattern, str]] = [
+    (re.compile(p), r) for p, r in [
+        (r"``", "`` "),
+        (r"''", "  ''"),
+        (r'([?!".,;:@#$%&])', r" \1 "),
+        (r"\.\.\.", " ... "),
+        (r"\s+", " "),
+        (r",([^0-9])", r" , \1"),
+        (r'([^.])([.])([\])}>"\']*)\s*$', r"\1 \2\3 "),
+        (r"([\[\](){}<>])", r" \1 "),
+        (r"--", " -- "),
+        (r"$", " "),
+        (r"^", " "),
+        (r"([^'])' ", r"\1 ' "),
+        (r"'([sSmMdD]) ", r" '\1 "),
+        (r"'ll ", " 'll "),
+        (r"'re ", " 're "),
+        (r"'ve ", " 've "),
+        (r"'em ", " 'em "),
+        (r"n't ", " n't "),
+        (r"'LL ", " 'LL "),
+        (r"'RE ", " 'RE "),
+        (r"'EM ", " 'EM "),
+        (r"'VE ", " 'VE "),
+        (r"N'T ", " N'T "),
+        (r" ([Cc])annot ", r" \1an not "),
+        (r" ([Dd])'ye ", r" \1' ye "),
+        (r" ([Gg])imme ", r" \1im me "),
+        (r" ([Gg])onna ", r" \1on na "),
+        (r" ([Gg])otta ", r" \1ot ta "),
+        (r" ([Ll])emme ", r" \1em me "),
+        (r" ([Mm])ore'n ", r" \1ore 'n "),
+        (r" '([Tt])is ", r" '\1 is "),
+        (r" '([Tt])was ", r" '\1 was "),
+        (r" ([Ww])anna ", r" \1an na "),
+        (r" ([Ww])haddya ", r" \1ha dd ya "),
+        (r" ([Ww])hatcha ", r" \1ha t cha "),
+        (r"([A-MO-Za-mo-z])'([tT])", r"\1 '\2"),
+        (r" ([A-Z]) \.", r" \1. "),
+        (r"\s+", " "),
+        (r"^\s+", ""),
+    ]
+]
+
+
+def ptb_tokenize(text: str) -> list[str]:
+    """Penn Treebank tokens of *text* via the literal rewrite cascade."""
+    s = text
+    for pat, rep in _PTB_RULES:
+        s = pat.sub(rep, s)
+    return [t for t in s.split(" ") if t]
+
+
+def ptb_tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """``[(token, begin, end)]`` under PTB tokenization, offsets into the
+    ORIGINAL text.  Alignment is exact because the cascade never alters
+    token characters (see module comment)."""
+    out: list[tuple[str, int, int]] = []
+    pos = 0
+    for tok in ptb_tokenize(text):
+        if not tok:
+            continue
+        idx = text.find(tok, pos)
+        if idx < 0:  # defensive: should be unreachable given the invariant
+            raise ValueError(f"cannot align PTB token {tok!r} at {pos}")
+        out.append((tok, idx, idx + len(tok)))
+        pos = idx + len(tok)
+    return out
+
+
 # Sentence/chunk boundaries: the reference runs ConceptMapper per sentence and
 # treats line breaks as sentence boundaries
 # (``CraftConceptMapperEvaluator.java:201-206``).  Matches never cross chunks.

@@ -46,3 +46,61 @@ def test_chunk_spans_linebreaks_and_sentences():
 
 def test_config_for_default():
     assert config_for("UNKNOWN_ONT") is config_for("DEFAULT")
+
+
+def test_ptb_tokenize_golden():
+    """Literal-cascade parity with the reference's PTB tokenizer
+    (PennTreebankTokenizer.java:28-60, the public McIntyre tokenizer.sed
+    MorphAdorner variant): contractions, special words, punctuation."""
+    from kgpipe.normalize import ptb_tokenize
+
+    assert ptb_tokenize("Hello, world.") == ["Hello", ",", "world", "."]
+    assert ptb_tokenize("I can't do it.") == ["I", "ca", "n't", "do", "it", "."]
+    assert ptb_tokenize("He cannot (really) swim -- ever.") == [
+        "He", "can", "not", "(", "really", ")", "swim", "--", "ever", "."]
+    assert ptb_tokenize("The cell's receptor isn't active; T-cells are.") == [
+        "The", "cell", "'s", "receptor", "is", "n't", "active", ";",
+        "T-cells", "are", "."]
+    # hyphenated biomedical terms stay whole (unlike the alnum-run default)
+    assert "T-cells" in ptb_tokenize("T-cells respond")
+    assert ptb_tokenize("gonna wanna gotta") == [
+        "gon", "na", "wan", "na", "got", "ta"]
+
+
+def test_ptb_tokenize_offsets_exact():
+    from kgpipe.normalize import ptb_tokenize_with_offsets
+
+    texts = [
+        "Hello, world.",
+        "I can't do it.",
+        'She said "gonna win" at 20.5 percent!',
+        "The cell's receptor isn't active; T-cells are.",
+        "Whaddya want? 'Tis done...",
+        "",
+        "   spaced   out   ",
+    ]
+    for text in texts:
+        for tok, b, e in ptb_tokenize_with_offsets(text):
+            assert text[b:e] == tok, (text, tok, b, e)
+
+
+def test_ptb_tokenize_offsets_property():
+    """Tokens appear in order, never overlap, and cover every
+    non-whitespace, non-removed character of the input."""
+    from hypothesis import given, strategies as st
+
+    from kgpipe.normalize import ptb_tokenize_with_offsets
+
+    @given(st.text(
+        alphabet="abcDEF'.,!?()-- 0123456789\"",
+        max_size=60,
+    ))
+    def check(text):
+        spans = ptb_tokenize_with_offsets(text)
+        last = 0
+        for tok, b, e in spans:
+            assert b >= last and e - b == len(tok)
+            assert text[b:e] == tok
+            last = e
+
+    check()
