@@ -240,7 +240,9 @@ WHERE list_dot_product(a.e, b.e)
 """
 
 
-def _minhash_sql(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_cte(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    """Shared WITH-body deriving near-dup ``pairs`` from the doubled corpus
+    (minhash signature → bands → candidate join → exact-Jaccard verify)."""
     sig_elems = ", ".join(
         f"list_min(list_transform(td, t -> md5('{i}|' || t)))" for i in range(k)
     )
@@ -252,8 +254,7 @@ def _minhash_sql(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
             f"SELECT doc_id, td, {b} AS band_idx, {val} AS band_val FROM sig"
         )
     banded = " UNION ALL ".join(band_selects)
-    return f"""
-WITH {_SQL_DOUBLED.lstrip()},
+    return f"""{_SQL_DOUBLED.lstrip()},
 sub AS (SELECT doc_id, text FROM doubled WHERE (doc_id % 100000) < 100),
 t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM sub),
 sig AS (SELECT doc_id, td, [{sig_elems}] AS sig FROM t),
@@ -265,13 +266,40 @@ cand AS (
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
-       len(list_intersect(ta, tb))::double
-         / len(list_distinct(list_concat(ta, tb)))::double AS jaccard
-FROM cand
-WHERE len(list_intersect(ta, tb))::double
-        / len(list_distinct(list_concat(ta, tb)))::double >= {threshold}
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(ta, tb))::double
+           / len(list_distinct(list_concat(ta, tb)))::double AS jaccard
+  FROM cand
+  WHERE len(list_intersect(ta, tb))::double
+          / len(list_distinct(list_concat(ta, tb)))::double >= {threshold}
+)"""
+
+
+def _minhash_sql(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    return f"""
+WITH {_minhash_cte(k, bands, threshold)}
+SELECT doc_a, doc_b, jaccard FROM pairs
+"""
+
+
+def _near_dup_clusters_sql(k: int = 8, bands: int = 4,
+                           threshold: float = 0.5) -> str:
+    """pairs → symmetric closure → transitive reach → min-id component;
+    docs without a near-dup keep themselves."""
+    return f"""
+WITH RECURSIVE {_minhash_cte(k, bands, threshold)},
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+reach(n, m) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.n, s.dst FROM reach r JOIN sym s ON r.m = s.src
+),
+comp AS (SELECT n AS doc_id, min(m) AS keep FROM reach GROUP BY n)
+SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_doc_id
+FROM sub d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """
 
 
@@ -545,6 +573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_pairs(spark, sf_dir):
         sub = _doubled(spark, sf_dir).filter((F.col("doc_id") % 100000) < 100)
         return minhash_lsh_pairs(sub, k=8, bands=4, jaccard_threshold=0.5)
+
+    def q_near_dup_clusters(spark, sf_dir):
+        from kgpipe.textops import near_dup_clusters
+
+        sub = _doubled(spark, sf_dir).filter((F.col("doc_id") % 100000) < 100)
+        return near_dup_clusters(sub, k=8, bands=4, jaccard_threshold=0.5)
 
     def q_ngram_jaccard(spark, sf_dir):
         sub = _doubled(spark, sf_dir).filter((F.col("doc_id") % 100000) < 100)
@@ -927,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_keep": q_dedup_keep,
         "minhash_pairs": q_minhash_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "token_count": q_token_count,
@@ -1127,6 +1162,7 @@ r AS (SELECT doc_id,
       FROM doubled)
 SELECT doc_id FROM r WHERE rn = 1""",
         "minhash_pairs": _minhash_sql(),
+        "near_dup_clusters": _near_dup_clusters_sql(),
         "ngram_jaccard": f"""
 WITH {_SQL_DOUBLED.lstrip()},
 sub AS (SELECT doc_id, text FROM doubled WHERE (doc_id % 100000) < 100),

@@ -35,6 +35,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # every iteration joins against sym — without a cache the whole
+        # upstream edge derivation (e.g. a MinHash-LSH candidate join) is
+        # re-executed per round
+        .persist()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -81,6 +85,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 

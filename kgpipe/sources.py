@@ -46,15 +46,22 @@ def read_text_dir(
         )
     )
     if skip or num is not None:
-        from pyspark.sql import Window
+        # skip/limit is deterministic by FILE NAME order, so derive the
+        # boundary names from the file listing (metadata-sized, driver-side)
+        # and push a narrow range filter into the scan — a global
+        # row_number window here would sort every document's text through
+        # one task (the round-1 plan audit's single-task sort).
+        import glob as _glob
 
-        w = Window.orderBy("src_file")
-        df = df.withColumn("__rn", F.row_number().over(w)).filter(
-            F.col("__rn") > skip
+        names = sorted(_glob.glob(f"{path}/*{suffix}"))
+        window_names = names[skip:skip + num if num is not None else None]
+        if not window_names:
+            return df.filter(F.lit(False)).select("doc_id", "text", "src_file")
+        lo, hi = window_names[0], window_names[-1]
+        base = F.element_at(F.split(F.col("src_file"), "/"), -1)
+        df = df.filter(
+            (base >= lo.rsplit("/", 1)[-1]) & (base <= hi.rsplit("/", 1)[-1])
         )
-        if num is not None:
-            df = df.filter(F.col("__rn") <= skip + num)
-        df = df.drop("__rn")
     return df.select("doc_id", "text", "src_file")
 
 

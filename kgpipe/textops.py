@@ -471,3 +471,41 @@ def fingerprint(df: DataFrame, text: str = "text", w: int = 4) -> DataFrame:
         F.md5(F.col(text)).alias("doc_md5"),
         F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("min_shingle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate clustering (fuzzy dedup keep-one)
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(
+    df: DataFrame,
+    text: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Fuzzy dedup keep-one: MinHash-LSH near-dup pairs → connected
+    components (near-duplicate-ness is transitively closed, as chains of
+    small edits connect documents that never pair directly) → every doc
+    mapped to its cluster representative ``(doc_id, keep_doc_id)`` with
+    ``keep_doc_id`` = the cluster's min doc_id (docs with no near-dup keep
+    themselves).  The component step is the distributed pointer-jumping
+    union-find (kgpipe.canon) over the pair edges — edge count ≈ near-dup
+    pair count, orders of magnitude below the corpus, so the iterative part
+    never touches document text."""
+    from .canon import connected_components
+
+    pairs = minhash_lsh_pairs(df, text, k, bands, jaccard_threshold)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges, max_iter=max_iter).withColumnRenamed(
+        "node", "doc_id"
+    )
+    return (
+        df.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("keep_doc_id"),
+        )
+    )

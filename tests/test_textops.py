@@ -201,3 +201,22 @@ def test_simhash_64bit_candidate_count_bounded(spark):
              simhash_near_dups(df, bits=64, max_hamming=3).collect()}
     for i in range(50):
         assert (i, i + 1_000_000) in found
+
+
+def test_near_dup_clusters_transitive(spark):
+    """a~b and b~c near-dup (a!~c directly) must land in ONE cluster —
+    transitivity via connected components; isolated docs keep themselves."""
+    from kgpipe.textops import near_dup_clusters
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9".split()
+    a = " ".join(base)
+    b = " ".join(base[:8] + ["x1", "x2"])          # jac(a,b) = 8/12
+    c = " ".join(base[:6] + ["x1", "x2", "x3", "x4"])  # jac(b,c)=8/12, jac(a,c)=6/14<0.5
+    docs = spark.createDataFrame(
+        [(10, a), (20, b), (30, c), (99, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.keep_doc_id for r in
+           near_dup_clusters(docs, jaccard_threshold=0.5).collect()}
+    assert out[10] == 10 and out[20] == 10 and out[30] == 10
+    assert out[99] == 99
