@@ -720,6 +720,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gold, ev = _overlap_gold_eval(spark, sf_dir)
         return compare(gold, ev, span="OVERLAP")
 
+    def q_eval_shared_start(spark, sf_dir):
+        # SHARED_START comparator (CraftRunGenericComparison.java:213-216):
+        # eval spans shifted at the END only still match on begin equality
+        gold, ev = _gold_eval(spark, sf_dir)
+        ev = ev.withColumn(
+            "end",
+            F.when(F.col("concept_id") == "T:0001", F.col("end") + 2)
+            .otherwise(F.col("end")),
+        )
+        return compare(gold, ev, span="SHARED_START")
+
+    def q_eval_sub_span(spark, sf_dir):
+        # SUB_SPAN: eval span contained within the gold span — shrink the
+        # eval begin by 0/1 depending on parity, matches either way
+        gold, ev = _gold_eval(spark, sf_dir)
+        ev = ev.select(
+            "conv_id", "turn_idx", "concept_id",
+            F.when(F.col("begin") % 2 == 0, F.col("begin") + 1)
+            .otherwise(F.col("begin")).cast("int").alias("begin"),
+            # fresh attribute: a passed-through self-join column trips
+            # Spark's ambiguous-self-join check inside compare()
+            (F.col("end") + F.lit(0)).cast("int").alias("end"),
+        )
+        return compare(gold, ev, span="SUB_SPAN")
+
     def q_per_doc_summary(spark, sf_dir):
         from kgpipe.evaluate import per_document_summary
 
@@ -970,6 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "eval_overlap": q_eval_overlap,
+        "eval_shared_start": q_eval_shared_start,
+        "eval_sub_span": q_eval_sub_span,
         "per_doc_summary": q_per_doc_summary,
         "score_cutoff": q_score_cutoff,
         "status_counts": q_status_counts,
@@ -1267,6 +1294,45 @@ fp AS (SELECT e.conv_id, e.turn_idx, 'FP' AS outcome, e.concept_id, e.begin, e."
        FROM ev e WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id=e.conv_id
          AND g.turn_idx=e.turn_idx AND g.concept_id=e.concept_id
          AND g.begin < e."end" AND e.begin < g."end"))
+SELECT * FROM tp UNION ALL SELECT * FROM fn UNION ALL SELECT * FROM fp""",
+        "eval_shared_start": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+gold AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0002')),
+ev AS (SELECT conv_id, turn_idx, concept_id, begin,
+         (CASE WHEN concept_id='T:0001' THEN "end"+2 ELSE "end" END)::int AS "end"
+       FROM mentions WHERE concept_id IN ('T:0001','T:0003')),
+tp AS (SELECT g.conv_id, g.turn_idx, 'TP' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND e.begin=g.begin)),
+fn AS (SELECT g.conv_id, g.turn_idx, 'FN' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND e.begin=g.begin)),
+fp AS (SELECT e.conv_id, e.turn_idx, 'FP' AS outcome, e.concept_id, e.begin, e."end"
+       FROM ev e WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id=e.conv_id
+         AND g.turn_idx=e.turn_idx AND g.concept_id=e.concept_id
+         AND g.begin=e.begin))
+SELECT * FROM tp UNION ALL SELECT * FROM fn UNION ALL SELECT * FROM fp""",
+        "eval_sub_span": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+gold AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0002')),
+ev AS (SELECT conv_id, turn_idx, concept_id,
+         (CASE WHEN begin % 2 = 0 THEN begin+1 ELSE begin END)::int AS begin,
+         "end"
+       FROM mentions WHERE concept_id IN ('T:0001','T:0003')),
+tp AS (SELECT g.conv_id, g.turn_idx, 'TP' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND e.begin>=g.begin AND e."end"<=g."end")),
+fn AS (SELECT g.conv_id, g.turn_idx, 'FN' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND e.begin>=g.begin AND e."end"<=g."end")),
+fp AS (SELECT e.conv_id, e.turn_idx, 'FP' AS outcome, e.concept_id, e.begin, e."end"
+       FROM ev e WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id=e.conv_id
+         AND g.turn_idx=e.turn_idx AND g.concept_id=e.concept_id
+         AND e.begin>=g.begin AND e."end"<=g."end"))
 SELECT * FROM tp UNION ALL SELECT * FROM fn UNION ALL SELECT * FROM fp""",
         "per_doc_summary": f"""
 WITH {_SQL_MENTIONS.lstrip()},

@@ -44,11 +44,11 @@ def stream_detect(
     ``Trigger.AvailableNow`` drains everything currently available and
     stops — batch-shaped operationally, streaming-checkpointed for resume
     (the engine-managed alternative to the lineage anti-join)."""
-    from .detect import build_tries
+    from .detect import build_tries, collect_dictionary
 
     import pandas as pd
 
-    local_rows = [r.asDict() for r in dictionary.collect()]
+    local_rows = collect_dictionary(dictionary)
     tries = build_tries(local_rows, configs)
     bc = spark.sparkContext.broadcast(tries)
 
@@ -133,10 +133,10 @@ def stream_conv_pairs(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from .detect import build_tries
+    from .detect import build_tries, collect_dictionary
 
     spark = transcript_stream.sparkSession
-    local_rows = [r.asDict() for r in dictionary.collect()]
+    local_rows = collect_dictionary(dictionary)
     tries = build_tries(local_rows, configs)
     bc = spark.sparkContext.broadcast(tries)
 
