@@ -2,14 +2,17 @@
 dependency.
 
 The staged pipeline (detect → TF-IDF disambiguation → canonicalize →
-triple fan-out) pays ~6 shuffles; every one of them except the first
+triple fan-out) pays several shuffles; every one of them except the first
 groups by conv-derived keys.  This operator exploits that: co-locate each
-conversation once (``groupBy(conv_id).applyInPandas``), then run the whole
-per-conversation computation — trie detection per turn, duplicate removal,
-span disambiguation by conversation-level term frequency, canonical-id
-mapping (broadcast union-find map), co-occurrence pairing, role/tool and
-structure triples — inside a single Arrow-batched Python pass.  The only
-remaining wide steps are that one group shuffle and the output write.
+conversation once (repartition by conv_id + sort within partitions), then
+run the whole per-conversation computation — trie detection per turn,
+duplicate removal, span disambiguation by conversation-level term
+frequency, canonical-id mapping (broadcast union-find map), co-occurrence
+pairing, role/tool and structure triples — inside a single Arrow-batched
+``mapInPandas`` pass (ONE Python call per Arrow batch; conversations are
+contiguous in the sorted partition and the only cross-batch carry is the
+last, possibly incomplete, group).  The only remaining wide steps are that
+one shuffle and the output write.
 
 Trade-offs vs the staged path (kgpipe.pipeline):
 - disambiguation uses conversation-local TF (ties → min concept id); the
@@ -229,13 +232,54 @@ def fused_conv_triples(
 
         return pd.DataFrame(out)
 
+    def scan_partition(batches):
+        """Per-PARTITION harness: one Python call per Arrow batch, not per
+        conversation.  ``groupBy(conv).applyInPandas`` invokes Python once
+        per GROUP — on a corpus of many short conversations that is one
+        pandas construction per conversation and dominates runtime
+        (measured 3-6× slower than this harness at ~2.5 turns/conv).  Data
+        arrives repartitioned by the group key and sorted within the
+        partition, so groups are contiguous; the only carry between batches
+        is the (possibly incomplete) LAST group of each batch — bounded by
+        one conversation (one block in split mode)."""
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            keys = pdf["conv_id"].astype(str) + "\x00" + pdf["block"].astype(str)
+            last_mask = (keys == keys.iloc[-1]).to_numpy()
+            body = pdf[~last_mask]
+            pending = pdf[last_mask]
+            if len(body):
+                outs = [
+                    per_conv(g)
+                    for _, g in body.groupby(["conv_id", "block"], sort=False)
+                ]
+                yield pd.concat(outs, ignore_index=True)
+        if pending is not None and len(pending):
+            yield per_conv(pending)
+
     base = transcripts.select("conv_id", "turn_idx", "role", "tool", "text")
+    # explicit partition count: a bare repartition("conv_id") is an AQE
+    # coalescing target — on a text-light corpus it collapses to one or two
+    # ~64MB partitions and SERIALIZES the Python scan stage (measured: 2→8
+    # core efficiency fell from ≥0.9 to 0.73).  The Python cost per byte is
+    # far higher than a shuffle-read's, so partition count must track CPU,
+    # not bytes.
+    n_parts = int(
+        transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     if block_size is None:
         keyed = base.withColumn("block", F.lit(0)).withColumn(
             "is_ghost", F.lit(False)
         )
-        flat = keyed.groupBy("conv_id").applyInPandas(
-            per_conv, schema=_FLAT_SCHEMA
+        flat = (
+            keyed.repartition(n_parts, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .mapInPandas(scan_partition, schema=_FLAT_SCHEMA)
         )
     else:
         keyed = base.withColumn(
@@ -251,8 +295,9 @@ def fused_conv_triples(
         )
         grouped = (
             keyed.unionByName(ghosts)
-            .groupBy("conv_id", "block")
-            .applyInPandas(per_conv, schema=_FLAT_SCHEMA)
+            .repartition(n_parts, "conv_id", "block")
+            .sortWithinPartitions("conv_id", "block", "turn_idx")
+            .mapInPandas(scan_partition, schema=_FLAT_SCHEMA)
         ).persist()
         # only the (conv, pair) co-occurrence triples can surface from
         # several blocks (with IDENTICAL rows — turn_idx/evidence null);
