@@ -8,10 +8,12 @@ conversation once (repartition by conv_id + sort within partitions), then
 run the whole per-conversation computation — trie detection per turn,
 duplicate removal, span disambiguation by conversation-level term
 frequency, canonical-id mapping (broadcast union-find map), co-occurrence
-pairing, role/tool and structure triples — inside a single Arrow-batched
-``mapInPandas`` pass (ONE Python call per Arrow batch; conversations are
-contiguous in the sorted partition and the only cross-batch carry is the
-last, possibly incomplete, group).  The only remaining wide steps are that
+pairing — inside a single Arrow-batched ``mapInPandas`` pass (ONE Python
+call per Arrow batch; conversations are contiguous in the sorted partition
+and the only cross-batch carry is the last, possibly incomplete, group).
+Structure triples (conv rdf:type, turn partOf, role, tool) come from a
+narrow JVM column plan unioned with the scan output — no Python, and
+role/tool never enter the shuffle.  The only remaining wide steps are that
 one shuffle and the output write.
 
 Trade-offs vs the staged path (kgpipe.pipeline):
@@ -40,14 +42,10 @@ from .detect import build_tries, collect_dictionary
 from .normalize import MatchConfig
 from .triples import (
     CONV_NS,
-    DC_IS_PART_OF,
-    IAO_DOCUMENT,
     OBO_PREFIX,
     PRED_COOCCURS,
     PRED_DENOTES,
-    PRED_ROLE,
-    PRED_TOOL,
-    RDF_TYPE,
+    conversation_triples,
 )
 
 _FLAT_SCHEMA = (
@@ -142,34 +140,25 @@ def fused_conv_triples(
             out["ev_end"].append(ev[1])
             out["ev_text"].append(ev[2])
 
-        conv_uri = CONV_NS + conv_id
-        if block_size is None:
-            emit(conv_uri, RDF_TYPE, IAO_DOCUMENT, conv_id)
-        # split mode: the conversation-level triple is emitted by the
-        # dedicated distinct-conv plan below — a conversation whose lowest
-        # turn_idx lands in block k > 0 has no block-0 group, so no group
-        # can own it reliably
+        # structure triples (conv rdf:type, turn partOf, role, tool) are
+        # NOT emitted here — they are pure column expressions and come from
+        # a narrow JVM-side plan (``conversation_triples``) unioned after
+        # the scan.  The Python pass produces only what needs the trie:
+        # denotes triples and co-occurrence pairs (plus quarantined error
+        # rows).  This also narrows the shuffle: role/tool never leave the
+        # scan side.
 
         # detect per turn (turn-relative offsets — the per-turn text
         # equality invariant), dedupe identical (turn, concept, span).
         # Ghost rows (next block's first `cooc_window` turns, replicated
-        # here as pair partners) produce NO structure/denotes output.
+        # here as pair partners) produce NO denotes output.
         mentions: list[tuple[int, str, int, int, str, bool]] = []
         seen: set = set()
-        for turn_idx, role, tool, text, ghost in zip(
-            pdf["turn_idx"], pdf["role"], pdf["tool"], pdf["text"],
-            pdf["is_ghost"],
+        for turn_idx, text, ghost in zip(
+            pdf["turn_idx"], pdf["text"], pdf["is_ghost"],
         ):
             ti = int(turn_idx)
             ghost = bool(ghost)
-            turn_uri = f"{CONV_NS}{conv_id}#t{ti}"
-            if not ghost:
-                emit(turn_uri, DC_IS_PART_OF, conv_uri, conv_id, ti)
-                if role is not None and not pd.isna(role):
-                    emit(turn_uri, PRED_ROLE, role, conv_id, ti)
-                if tool is not None and not (isinstance(tool, float)
-                                             and pd.isna(tool)):
-                    emit(turn_uri, PRED_TOOL, tool, conv_id, ti)
             if text is None or (isinstance(text, float) and pd.isna(text)):
                 continue
             for trie in tries_l.values():
@@ -262,7 +251,7 @@ def fused_conv_triples(
         if pending is not None and len(pending):
             yield per_conv(pending)
 
-    base = transcripts.select("conv_id", "turn_idx", "role", "tool", "text")
+    base = transcripts.select("conv_id", "turn_idx", "text")
     # explicit partition count: a bare repartition("conv_id") is an AQE
     # coalescing target — on a text-light corpus it collapses to one or two
     # ~64MB partitions and SERIALIZES the Python scan stage (measured: 2→8
@@ -310,19 +299,6 @@ def fused_conv_triples(
         # local storage ≈ output bytes instead of a full output shuffle.
         cooc = grouped.filter(F.col("pred") == PRED_COOCCURS).dropDuplicates()
         flat = grouped.filter(F.col("pred") != PRED_COOCCURS).unionByName(cooc)
-        # conversation-level rdf:type triples from a dedicated narrow plan
-        # (see the block comment inside per_conv)
-        conv_rows = transcripts.select("conv_id").distinct().select(
-            F.concat(F.lit(CONV_NS), F.col("conv_id")).alias("subj"),
-            F.lit(RDF_TYPE).alias("pred"),
-            F.lit(IAO_DOCUMENT).alias("obj"),
-            F.col("conv_id"),
-            F.lit(None).cast("int").alias("turn_idx"),
-            F.lit(None).cast("int").alias("ev_begin"),
-            F.lit(None).cast("int").alias("ev_end"),
-            F.lit(None).cast("string").alias("ev_text"),
-        )
-        flat = flat.unionByName(conv_rows)
     result = flat.select(
         "subj", "pred", "obj", "conv_id", "turn_idx",
         F.when(
@@ -333,6 +309,13 @@ def fused_conv_triples(
                 F.col("ev_text").alias("text"),
             ),
         ).alias("evidence"),
+    ).unionByName(
+        # structure triples (conv rdf:type, turn partOf, role, tool) from a
+        # narrow JVM plan over the original transcripts — column
+        # expressions, no Python, and identical to the staged path's
+        # conversation_triples (including for conversations whose detect
+        # quarantined: structure survives, matching staged error semantics)
+        conversation_triples(transcripts)
     )
     if block_size is not None:
         # split mode persists the applyInPandas output (see above); hand
