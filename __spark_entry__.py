@@ -745,6 +745,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return compare(gold, ev, span="SUB_SPAN")
 
+    def q_eval_shared_end(spark, sf_dir):
+        # SHARED_END: begin-shifted eval spans still match on end equality
+        gold, ev = _gold_eval(spark, sf_dir)
+        ev = ev.select(
+            "conv_id", "turn_idx", "concept_id",
+            F.when(F.col("concept_id") == "T:0001", F.col("begin") + 1)
+            .otherwise(F.col("begin")).cast("int").alias("begin"),
+            (F.col("end") + F.lit(0)).cast("int").alias("end"),
+        )
+        return compare(gold, ev, span="SHARED_END")
+
+    def q_eval_shared_start_or_end(spark, sf_dir):
+        # SHARED_START_OR_END: parity-alternating shift of begin XOR end
+        gold, ev = _gold_eval(spark, sf_dir)
+        ev = ev.select(
+            "conv_id", "turn_idx", "concept_id",
+            F.when(F.col("begin") % 2 == 0, F.col("begin") + 1)
+            .otherwise(F.col("begin")).cast("int").alias("begin"),
+            F.when(F.col("begin") % 2 == 1, F.col("end") + 1)
+            .otherwise(F.col("end")).cast("int").alias("end"),
+        )
+        return compare(gold, ev, span="SHARED_START_OR_END")
+
+    def q_eval_ignore_span(spark, sf_dir):
+        # IGNORE_SPAN: concept-in-turn presence only — spans scrambled
+        gold, ev = _gold_eval(spark, sf_dir)
+        ev = ev.select(
+            "conv_id", "turn_idx", "concept_id",
+            (F.col("begin") * 3 + 7).cast("int").alias("begin"),
+            (F.col("end") * 3 + 9).cast("int").alias("end"),
+        )
+        return compare(gold, ev, span="IGNORE_SPAN")
+
     def q_per_doc_summary(spark, sf_dir):
         from kgpipe.evaluate import per_document_summary
 
@@ -997,6 +1030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_overlap": q_eval_overlap,
         "eval_shared_start": q_eval_shared_start,
         "eval_sub_span": q_eval_sub_span,
+        "eval_shared_end": q_eval_shared_end,
+        "eval_shared_start_or_end": q_eval_shared_start_or_end,
+        "eval_ignore_span": q_eval_ignore_span,
         "per_doc_summary": q_per_doc_summary,
         "score_cutoff": q_score_cutoff,
         "status_counts": q_status_counts,
@@ -1333,6 +1369,62 @@ fp AS (SELECT e.conv_id, e.turn_idx, 'FP' AS outcome, e.concept_id, e.begin, e."
        FROM ev e WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id=e.conv_id
          AND g.turn_idx=e.turn_idx AND g.concept_id=e.concept_id
          AND e.begin>=g.begin AND e."end"<=g."end"))
+SELECT * FROM tp UNION ALL SELECT * FROM fn UNION ALL SELECT * FROM fp""",
+        "eval_shared_end": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+gold AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0002')),
+ev AS (SELECT conv_id, turn_idx, concept_id,
+         (CASE WHEN concept_id='T:0001' THEN begin+1 ELSE begin END)::int AS begin,
+         "end"
+       FROM mentions WHERE concept_id IN ('T:0001','T:0003')),
+tp AS (SELECT g.conv_id, g.turn_idx, 'TP' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND e."end"=g."end")),
+fn AS (SELECT g.conv_id, g.turn_idx, 'FN' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND e."end"=g."end")),
+fp AS (SELECT e.conv_id, e.turn_idx, 'FP' AS outcome, e.concept_id, e.begin, e."end"
+       FROM ev e WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id=e.conv_id
+         AND g.turn_idx=e.turn_idx AND g.concept_id=e.concept_id
+         AND g."end"=e."end"))
+SELECT * FROM tp UNION ALL SELECT * FROM fn UNION ALL SELECT * FROM fp""",
+        "eval_shared_start_or_end": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+gold AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0002')),
+ev AS (SELECT conv_id, turn_idx, concept_id,
+         (CASE WHEN begin % 2 = 0 THEN begin+1 ELSE begin END)::int AS begin,
+         (CASE WHEN begin % 2 = 1 THEN "end"+1 ELSE "end" END)::int AS "end"
+       FROM mentions WHERE concept_id IN ('T:0001','T:0003')),
+tp AS (SELECT g.conv_id, g.turn_idx, 'TP' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND (e.begin=g.begin OR e."end"=g."end"))),
+fn AS (SELECT g.conv_id, g.turn_idx, 'FN' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id
+         AND (e.begin=g.begin OR e."end"=g."end"))),
+fp AS (SELECT e.conv_id, e.turn_idx, 'FP' AS outcome, e.concept_id, e.begin, e."end"
+       FROM ev e WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id=e.conv_id
+         AND g.turn_idx=e.turn_idx AND g.concept_id=e.concept_id
+         AND (e.begin=g.begin OR e."end"=g."end")))
+SELECT * FROM tp UNION ALL SELECT * FROM fn UNION ALL SELECT * FROM fp""",
+        "eval_ignore_span": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+gold AS (SELECT * FROM mentions WHERE concept_id IN ('T:0001','T:0002')),
+ev AS (SELECT conv_id, turn_idx, concept_id,
+         (begin*3+7)::int AS begin, ("end"*3+9)::int AS "end"
+       FROM mentions WHERE concept_id IN ('T:0001','T:0003')),
+tp AS (SELECT g.conv_id, g.turn_idx, 'TP' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id)),
+fn AS (SELECT g.conv_id, g.turn_idx, 'FN' AS outcome, g.concept_id, g.begin, g."end"
+       FROM gold g WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.conv_id=g.conv_id
+         AND e.turn_idx=g.turn_idx AND e.concept_id=g.concept_id)),
+fp AS (SELECT e.conv_id, e.turn_idx, 'FP' AS outcome, e.concept_id, e.begin, e."end"
+       FROM ev e WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id=e.conv_id
+         AND g.turn_idx=e.turn_idx AND g.concept_id=e.concept_id))
 SELECT * FROM tp UNION ALL SELECT * FROM fn UNION ALL SELECT * FROM fp""",
         "per_doc_summary": f"""
 WITH {_SQL_MENTIONS.lstrip()},

@@ -209,6 +209,19 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--cooc-window", type=int, default=3)
     ap.add_argument("--mayla", action="store_true")
+    ap.add_argument("--mayla-freq", type=int, default=None,
+                    help="Mayla frequency-mode threshold (omit for the "
+                         "acronym/case no-freq mode)")
+    ap.add_argument("--mayla-ns-freq", action="store_true",
+                    help="use the per-namespace threshold table "
+                         "(MAYLA_CONCEPT_FREQ)")
+    ap.add_argument("--no-disambiguate", action="store_true",
+                    help="skip TF-IDF span disambiguation")
+    ap.add_argument("--no-canonical", action="store_true",
+                    help="skip union-find canonicalization")
+    ap.add_argument("--salt-partitions", type=int, default=None,
+                    help="staged path: salted repartition width for "
+                         "skewed inputs")
     ap.add_argument("--fused", action="store_true",
                     help="one-shuffle conversation-local plan")
     ap.add_argument("--max-turns-per-group", type=int, default=None,
@@ -223,12 +236,21 @@ def main(argv: Optional[list[str]] = None) -> None:
         if "/" in args.transcripts
         else spark.read.table(args.transcripts)
     )
+    if args.mayla_ns_freq:
+        from .disambig import MAYLA_CONCEPT_FREQ
+        mayla_freq = MAYLA_CONCEPT_FREQ
+    else:
+        mayla_freq = args.mayla_freq
     cfg = PipelineConfig(
         obo_paths=dict(kv.split("=", 1) for kv in args.obo),
         run_key=args.run_key,
         n_buckets=args.buckets,
         cooc_window=args.cooc_window,
         mayla=args.mayla,
+        mayla_concept_freq=mayla_freq,
+        disambiguate=not args.no_disambiguate,
+        canonical=not args.no_canonical,
+        salt_partitions=args.salt_partitions,
         fused=args.fused,
         max_turns_per_group=args.max_turns_per_group,
     )
