@@ -237,3 +237,121 @@ def stream_mention_counts(
         .groupBy(F.window("ts", window_duration), F.col("conv_id"))
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
+
+
+def stream_triples(
+    spark: SparkSession,
+    input_path: str,
+    dictionary: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    configs: Optional[dict] = None,
+    await_termination: bool = True,
+):
+    """Incremental KG materialization: new transcript files → mention +
+    structure triples, streaming-checkpointed (``Trigger.AvailableNow``).
+
+    The stateless triple families (denotes with span evidence, turn
+    partOf/role/tool, conv rdf:type per new turn) stream through the same
+    broadcast-trie scan as ``stream_detect`` plus pure column expressions;
+    windowed co-occurrence needs cross-batch state and lives in
+    ``stream_conv_pairs``.  Conv rdf:type rows recur for every batch that
+    touches a conversation — the parquet sink is append-only, so readers
+    dedupe that tiny slice (or an Iceberg MERGE sink absorbs it); at-least-
+    once into an idempotent consumer, matching ``stream_detect``."""
+    from .detect import build_tries, collect_dictionary
+    from .triples import (
+        CONV_NS, DC_IS_PART_OF, IAO_DOCUMENT, PRED_DENOTES, PRED_ROLE,
+        PRED_TOOL, RDF_TYPE, concept_uri_col, turn_uri_col,
+    )
+
+    import pandas as pd
+
+    local_rows = collect_dictionary(dictionary)
+    tries = build_tries(local_rows, configs)
+    bc = spark.sparkContext.broadcast(tries)
+
+    mention_schema = ("conv_id string, turn_idx int, concept_id string,"
+                      " begin int, end int, covered_text string")
+
+    def scan(batches):
+        tries_local = bc.value
+        for pdf in batches:
+            out = {"conv_id": [], "turn_idx": [], "concept_id": [],
+                   "begin": [], "end": [], "covered_text": []}
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                if text is None:
+                    continue
+                seen = set()
+                for trie in tries_local.values():
+                    for _, cid, b, e, cov in trie.scan_text(text):
+                        if (cid, b, e) in seen:
+                            continue
+                        seen.add((cid, b, e))
+                        out["conv_id"].append(conv_id)
+                        out["turn_idx"].append(int(turn_idx))
+                        out["concept_id"].append(cid)
+                        out["begin"].append(b)
+                        out["end"].append(e)
+                        out["covered_text"].append(cov)
+            yield pd.DataFrame(out)
+
+    stream = stream_transcripts(spark, input_path)
+    ev = F.struct(
+        F.col("begin").alias("begin"), F.col("end").alias("end"),
+        F.col("covered_text").alias("text"),
+    )
+    denotes = (
+        stream.select("conv_id", "turn_idx", "text")
+        .mapInPandas(scan, schema=mention_schema)
+        .select(
+            turn_uri_col().alias("subj"),
+            F.lit(PRED_DENOTES).alias("pred"),
+            concept_uri_col().alias("obj"),
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+            ev.alias("evidence"),
+        )
+    )
+    none_ev = F.lit(None).cast("struct<begin:int,end:int,text:string>")
+    conv_uri = F.concat(F.lit(CONV_NS), F.col("conv_id"))
+    structure = stream.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(turn_uri_col().alias("subj"),
+                             F.lit(DC_IS_PART_OF).alias("pred"),
+                             conv_uri.alias("obj")),
+                    F.struct(turn_uri_col().alias("subj"),
+                             F.lit(PRED_ROLE).alias("pred"),
+                             F.col("role").alias("obj")),
+                    F.struct(turn_uri_col().alias("subj"),
+                             F.lit(PRED_TOOL).alias("pred"),
+                             F.col("tool").alias("obj")),
+                    F.struct(conv_uri.alias("subj"),
+                             F.lit(RDF_TYPE).alias("pred"),
+                             F.lit(IAO_DOCUMENT).alias("obj")),
+                ),
+                lambda t: t["obj"].isNotNull(),
+            )
+        ).alias("t"),
+        "conv_id", "turn_idx",
+    ).select(
+        F.col("t.subj").alias("subj"), F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"), "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        none_ev.alias("evidence"),
+    )
+    triples = denotes.unionByName(structure)
+    q = (
+        triples.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -248,3 +248,44 @@ def test_run_grid_duplicate_gold_rows_agree(spark):
                                 indices=indices).collect()
     }
     assert fused == serial
+
+
+def test_stream_triples_incremental(spark, tmp_path):
+    """Streaming KG sink: two AvailableNow drains over a growing directory
+    produce exactly the stateless triple families for all turns seen, with
+    the second drain touching only the new file."""
+    import os
+
+    from kgpipe.detect import build_dictionary_df
+    from kgpipe.streaming import stream_triples
+
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO})
+
+    batch1 = spark.createDataFrame(
+        [("c1", 0, "user", "a neuron appears", None, None)], schema)
+    batch1.write.mode("append").parquet(in_dir)
+    stream_triples(spark, in_dir, ddf, out, ckpt)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    denotes1 = first.filter("pred = 'http://purl.org/kgpipe/denotes'")
+    assert denotes1.count() == 1
+    assert denotes1.first().evidence.text == "neuron"
+
+    batch2 = spark.createDataFrame(
+        [("c2", 0, "tool", "the fibroblast waits", "search", None)], schema)
+    batch2.write.mode("append").parquet(in_dir)
+    stream_triples(spark, in_dir, ddf, out, ckpt)
+    allrows = spark.read.parquet(out)
+    c2 = allrows.filter("conv_id = 'c2'")
+    preds = {r.pred for r in c2.collect()}
+    assert "http://purl.org/kgpipe/denotes" in preds
+    assert "http://purl.org/kgpipe/usedTool" in preds
+    assert "http://purl.org/kgpipe/hasRole" in preds
+    # c1 rows were not re-emitted
+    assert allrows.filter("conv_id = 'c1'").count() == n1
