@@ -104,61 +104,26 @@ def fused_conv_triples(
 
     block_size = max_turns_per_group
 
-    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx")
-        conv_id = pdf["conv_id"].iloc[0]
-        block = int(pdf["block"].iloc[0])
-        try:
-            return _process_conv(pdf, conv_id, block)
-        except Exception as exc:
-            if not quarantine_errors:
-                raise
-            # per-conversation quarantine (the reference records per-doc
-            # errors in its run catalog, RunCatalogAE.java:107-112): one
-            # ERROR_PRED row instead of a failed task; kgpipe.pipeline's
-            # lineage integration turns it into an ERROR lineage bucket
-            return pd.DataFrame({
-                "subj": [CONV_NS + conv_id], "pred": [ERROR_PRED],
-                "obj": [f"{type(exc).__name__}: {exc}"],
-                "conv_id": [conv_id], "turn_idx": [None],
-                "ev_begin": [None], "ev_end": [None], "ev_text": [None],
-            })
+    def _process_conv(conv_id, block, turns, emit, tries_l, comp) -> None:
+        """One conversation (or block): *turns* is ``[(ti, text, ghost)]``
+        already in turn order (the partition is sorted); *emit* appends into
+        the CALLING BATCH's shared output columns — no per-conversation
+        pandas objects anywhere on this path.
 
-    def _process_conv(pdf: pd.DataFrame, conv_id: str, block: int) -> pd.DataFrame:
-        tries_l, comp = bc.value
-        out = {k: [] for k in ("subj", "pred", "obj", "conv_id", "turn_idx",
-                               "ev_begin", "ev_end", "ev_text")}
-
-        def emit(subj, pred, obj, conv_id, turn_idx=None,
-                 ev=(None, None, None)):
-            out["subj"].append(subj)
-            out["pred"].append(pred)
-            out["obj"].append(obj)
-            out["conv_id"].append(conv_id)
-            out["turn_idx"].append(turn_idx)
-            out["ev_begin"].append(ev[0])
-            out["ev_end"].append(ev[1])
-            out["ev_text"].append(ev[2])
-
-        # structure triples (conv rdf:type, turn partOf, role, tool) are
-        # NOT emitted here — they are pure column expressions and come from
-        # a narrow JVM-side plan (``conversation_triples``) unioned after
-        # the scan.  The Python pass produces only what needs the trie:
-        # denotes triples and co-occurrence pairs (plus quarantined error
-        # rows).  This also narrows the shuffle: role/tool never leave the
-        # scan side.
-
+        Structure triples (conv rdf:type, turn partOf, role, tool) are NOT
+        emitted here — they are pure column expressions and come from a
+        narrow JVM-side plan (``conversation_triples``) unioned after the
+        scan.  The Python pass produces only what needs the trie: denotes
+        triples and co-occurrence pairs (plus quarantined error rows).
+        This also narrows the shuffle: role/tool never leave the scan side.
+        """
         # detect per turn (turn-relative offsets — the per-turn text
         # equality invariant), dedupe identical (turn, concept, span).
         # Ghost rows (next block's first `cooc_window` turns, replicated
         # here as pair partners) produce NO denotes output.
         mentions: list[tuple[int, str, int, int, str, bool]] = []
         seen: set = set()
-        for turn_idx, text, ghost in zip(
-            pdf["turn_idx"], pdf["text"], pdf["is_ghost"],
-        ):
-            ti = int(turn_idx)
-            ghost = bool(ghost)
+        for ti, text, ghost in turns:
             if text is None or (isinstance(text, float) and pd.isna(text)):
                 continue
             for trie in tries_l.values():
@@ -219,37 +184,91 @@ def fused_conv_triples(
         for (ca, cb), _cnt in sorted(pair_counts.items()):
             emit(_concept_uri(ca), PRED_COOCCURS, _concept_uri(cb), conv_id)
 
-        return pd.DataFrame(out)
+    _OUT_COLS = ("subj", "pred", "obj", "conv_id", "turn_idx",
+                 "ev_begin", "ev_end", "ev_text")
 
     def scan_partition(batches):
-        """Per-PARTITION harness: one Python call per Arrow batch, not per
-        conversation.  ``groupBy(conv).applyInPandas`` invokes Python once
-        per GROUP — on a corpus of many short conversations that is one
-        pandas construction per conversation and dominates runtime
-        (measured 3-6× slower than this harness at ~2.5 turns/conv).  Data
-        arrives repartitioned by the group key and sorted within the
-        partition, so groups are contiguous; the only carry between batches
-        is the (possibly incomplete) LAST group of each batch — bounded by
-        one conversation (one block in split mode)."""
-        pending: pd.DataFrame | None = None
+        """Per-PARTITION harness: one Python call AND one output DataFrame
+        per Arrow batch, not per conversation.  ``groupBy(conv)
+        .applyInPandas`` invokes Python once per GROUP — one pandas frame
+        per conversation, which dominates runtime on many-short-
+        conversation corpora.  Data arrives repartitioned by the group key
+        and sorted within the partition, so groups are contiguous row
+        runs; a plain walk over the batch's column arrays slices them with
+        zero pandas machinery, and the only carry between batches is the
+        (possibly incomplete) LAST group — bounded by one conversation
+        (one block in split mode)."""
+        tries_l, comp = bc.value
+        pending_key = None
+        pending_turns: list = []
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-                pending = None
-            keys = pdf["conv_id"].astype(str) + "\x00" + pdf["block"].astype(str)
-            last_mask = (keys == keys.iloc[-1]).to_numpy()
-            body = pdf[~last_mask]
-            pending = pdf[last_mask]
-            if len(body):
-                outs = [
-                    per_conv(g)
-                    for _, g in body.groupby(["conv_id", "block"], sort=False)
-                ]
-                yield pd.concat(outs, ignore_index=True)
-        if pending is not None and len(pending):
-            yield per_conv(pending)
+            out = {k: [] for k in _OUT_COLS}
+
+            def emit(subj, pred, obj, conv_id, turn_idx=None,
+                     ev=(None, None, None), _out=out):
+                _out["subj"].append(subj)
+                _out["pred"].append(pred)
+                _out["obj"].append(obj)
+                _out["conv_id"].append(conv_id)
+                _out["turn_idx"].append(turn_idx)
+                _out["ev_begin"].append(ev[0])
+                _out["ev_end"].append(ev[1])
+                _out["ev_text"].append(ev[2])
+
+            def process(key, turns):
+                conv_id, block = key
+                try:
+                    _process_conv(conv_id, int(block), turns, emit,
+                                  tries_l, comp)
+                except Exception as exc:
+                    if not quarantine_errors:
+                        raise
+                    # per-conversation quarantine (the reference records
+                    # per-doc errors in its run catalog,
+                    # RunCatalogAE.java:107-112): one ERROR_PRED row
+                    # instead of a failed task; kgpipe.pipeline's lineage
+                    # integration turns it into an ERROR lineage bucket
+                    emit(CONV_NS + conv_id, ERROR_PRED,
+                         f"{type(exc).__name__}: {exc}", conv_id)
+
+            conv_a = pdf["conv_id"].to_numpy()
+            block_a = pdf["block"].to_numpy()
+            ti_a = pdf["turn_idx"].to_numpy()
+            text_a = pdf["text"].to_numpy()
+            ghost_a = pdf["is_ghost"].to_numpy()
+            cur_key, cur_turns = pending_key, pending_turns
+            for i in range(n):
+                key = (conv_a[i], block_a[i])
+                if key != cur_key:
+                    if cur_key is not None:
+                        process(cur_key, cur_turns)
+                    cur_key, cur_turns = key, []
+                cur_turns.append((int(ti_a[i]), text_a[i], bool(ghost_a[i])))
+            pending_key, pending_turns = cur_key, cur_turns
+            if out["subj"]:
+                yield pd.DataFrame(out)
+        if pending_key is not None:
+            out = {k: [] for k in _OUT_COLS}
+
+            def emit(subj, pred, obj, conv_id, turn_idx=None,
+                     ev=(None, None, None), _out=out):
+                for k, v in zip(_OUT_COLS, (subj, pred, obj, conv_id,
+                                            turn_idx, ev[0], ev[1], ev[2])):
+                    _out[k].append(v)
+
+            try:
+                _process_conv(pending_key[0], int(pending_key[1]),
+                              pending_turns, emit, tries_l, comp)
+            except Exception as exc:
+                if not quarantine_errors:
+                    raise
+                emit(CONV_NS + pending_key[0], ERROR_PRED,
+                     f"{type(exc).__name__}: {exc}", pending_key[0])
+            if out["subj"]:
+                yield pd.DataFrame(out)
 
     base = transcripts.select("conv_id", "turn_idx", "text")
     # explicit partition count: a bare repartition("conv_id") is an AQE
