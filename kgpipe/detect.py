@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import schemas
 from .normalize import MatchConfig, config_for
 from .obo import dictionary_rows, parse_ontology
-from .trie import DictionaryTrie
+from .trie import DictionaryTrie, pretokenize
 
 
 def build_dictionary_df(
@@ -128,8 +128,12 @@ def detect_mentions(
                 # deterministic (first match in scan order wins).
                 seen: set = set()
                 try:
+                    # tokenize once per turn across ontologies (chunking/
+                    # raw tokens are config-independent)
+                    pretok = (pretokenize(text)
+                              if len(tries_local) > 1 else None)
                     for trie in tries_local.values():
-                        for ont, cid, b, e, cov in trie.scan_text(text):
+                        for ont, cid, b, e, cov in trie.scan_text(text, pretok):
                             if drop_duplicates:
                                 key = (cid, b, e)
                                 if key in seen:

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .canon import components_from_rows
 from .detect import build_tries, collect_dictionary
+from .trie import pretokenize
 from .normalize import MatchConfig
 from .triples import (
     CONV_NS,
@@ -126,8 +127,9 @@ def fused_conv_triples(
         for ti, text, ghost in turns:
             if text is None or (isinstance(text, float) and pd.isna(text)):
                 continue
+            pretok = pretokenize(text) if len(tries_l) > 1 else None
             for trie in tries_l.values():
-                for _, cid, b, e, cov in trie.scan_text(text):
+                for _, cid, b, e, cov in trie.scan_text(text, pretok):
                     key = (ti, cid, b, e)
                     if key not in seen:
                         seen.add(key)

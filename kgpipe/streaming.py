@@ -23,6 +23,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import schemas
+from .trie import pretokenize as _pretokenize
 
 
 def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
@@ -65,8 +66,10 @@ def stream_detect(
                 if text is None:
                     continue
                 seen = set()  # turn-local dedup, same as batch detect
+                pretok = (_pretokenize(text)
+                          if len(tries_local) > 1 else None)
                 for trie in tries_local.values():
-                    for ont, cid, b, e, cov in trie.scan_text(text):
+                    for ont, cid, b, e, cov in trie.scan_text(text, pretok):
                         if (cid, b, e) in seen:
                             continue
                         seen.add((cid, b, e))
@@ -285,8 +288,10 @@ def stream_triples(
                 if text is None:
                     continue
                 seen = set()
+                pretok = (_pretokenize(text)
+                          if len(tries_local) > 1 else None)
                 for trie in tries_local.values():
-                    for _, cid, b, e, cov in trie.scan_text(text):
+                    for _, cid, b, e, cov in trie.scan_text(text, pretok):
                         if (cid, b, e) in seen:
                             continue
                         seen.add((cid, b, e))

@@ -39,6 +39,17 @@ from .normalize import (
 _END = 0  # int key cannot collide with str token keys
 
 
+def pretokenize(text: str) -> list[tuple[int, int, list[tuple[str, int, int]]]]:
+    """Config-independent chunking + raw tokenization of *text*:
+    ``[(chunk_begin, chunk_end, [(token, begin, end)])]`` with token
+    offsets chunk-relative.  Compute once per turn and pass to every
+    trie's ``scan_text`` when scanning multiple ontologies."""
+    return [
+        (cb, ce, tokenize_with_offsets(text[cb:ce]))
+        for cb, ce in chunk_spans(text)
+    ]
+
+
 class DictionaryTrie:
     """Token trie over normalized variant token sequences.
 
@@ -83,17 +94,26 @@ class DictionaryTrie:
     # scanning
     # ------------------------------------------------------------------
 
-    def scan_text(self, text: str) -> list[tuple[str, str, int, int, str]]:
+    def scan_text(
+        self, text: str, pretok=None,
+    ) -> list[tuple[str, str, int, int, str]]:
         """Scan *text* and return mentions
         ``[(ontology, concept_id, begin, end, covered_text)]`` with char
         offsets into *text*.  Chunked per sentence-ish boundary first
         (matches never cross chunks, mirroring the per-sentence ConceptMapper
-        invocation, ``EntityFinder.java:97,118``)."""
+        invocation, ``EntityFinder.java:97,118``).
+
+        ``pretok`` — optional precomputed ``pretokenize(text)`` result:
+        chunking and raw tokenization are config-INdependent, so a
+        multi-ontology scan (the production shape: CHEBI+GO+PR+CL+TAXON
+        tries over the same turn) tokenizes each turn once instead of once
+        per trie; per-config stopword filtering and normalization still
+        happen here."""
         out: list[tuple[str, str, int, int, str]] = []
         cfg = self.config
-        for cb, ce in chunk_spans(text):
-            chunk = text[cb:ce]
-            raw = tokenize_with_offsets(chunk)
+        if pretok is None:
+            pretok = pretokenize(text)
+        for cb, ce, raw in pretok:
             toks: list[str] = []
             begins: list[int] = []
             ends: list[int] = []

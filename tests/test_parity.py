@@ -91,3 +91,38 @@ def test_spark_detection_parity(spark):
     gold = load_a1(CL_A1)
     p, r, f = prf(mine, gold)
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+@pytest.mark.spark
+def test_multi_ontology_detection(spark):
+    """The production shape — several ontology tries over one corpus
+    (north-star: CHEBI+GO+PR+CL+TAXON) — must equal the union of
+    per-ontology runs; exercises the tokenize-once pretokenize path."""
+    from conftest import MINI_OBO
+    from kgpipe.detect import build_dictionary_df, detect_mentions
+
+    rows = [
+        ("c1", 0, "user", "a neuron with melanoma markers", None, None),
+        ("c1", 1, "tool", "the fibroblast shows no carcinoma", None, None),
+        ("c2", 0, "user", "plain text with nothing at all", None, None),
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+
+    # compare on the annotation identity key (concept, span) — detect's
+    # turn-local dedup is ontology-agnostic (mini.obo reuses CL ids), so
+    # the combined run keeps one row where two namespaces agree
+    key = lambda m: (m.concept_id, m.conv_id, m.turn_idx, m.begin, m.end)
+    combined = build_dictionary_df(
+        spark, {"CL": CL_OBO, "DOID": DOID_OBO, "MINI": MINI_OBO})
+    got = {key(m) for m in detect_mentions(tdf, combined).collect()}
+
+    expected = set()
+    for ont, obo in [("CL", CL_OBO), ("DOID", DOID_OBO), ("MINI", MINI_OBO)]:
+        single = build_dictionary_df(spark, {ont: obo})
+        expected |= {key(m) for m in detect_mentions(tdf, single).collect()}
+    assert got == expected
+    cids = {g[0] for g in got}
+    assert any(c.startswith("CL:") for c in cids)
+    assert any(c.startswith("DOID:") for c in cids)
