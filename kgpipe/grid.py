@@ -247,3 +247,29 @@ def compile_results(spark: SparkSession, results: list[GridResult]) -> DataFrame
         "param_idx int, params string, tp long, fp long, fn long,"
         " precision double, recall double, f1 double",
     )
+
+
+def iso_f_precision(f: float, r: float) -> float | None:
+    """Precision on the iso-F curve at recall *r* for F-score *f*:
+    ``p = f·r / (2r − f)`` (``ConceptMapperEvalOutputCompiler.java:213-223``
+    — the math behind the compiler's P/R scatter iso-F overlays; charting
+    itself is out of scope).  Returns None where the curve is undefined
+    (r <= f/2: no precision can achieve F=f at that recall)."""
+    denom = 2.0 * r - f
+    if denom <= 0:
+        return None
+    return f * r / denom
+
+
+def iso_f_curve(f: float, n_points: int = 50,
+                r_max: float = 1.0) -> list[tuple[float, float]]:
+    """(recall, precision) samples of the iso-F curve for overlaying on a
+    P/R scatter: recall sweeps (f/2, r_max], undefined points skipped."""
+    lo = f / 2.0
+    out = []
+    for i in range(1, n_points + 1):
+        r = lo + (r_max - lo) * i / n_points
+        p = iso_f_precision(f, r)
+        if p is not None and p <= 1.0:
+            out.append((round(r, 6), round(p, 6)))
+    return out

@@ -289,3 +289,18 @@ def test_stream_triples_incremental(spark, tmp_path):
     assert "http://purl.org/kgpipe/hasRole" in preds
     # c1 rows were not re-emitted
     assert allrows.filter("conv_id = 'c1'").count() == n1
+
+
+def test_iso_f_math():
+    """p = f*r/(2r-f) — the eval compiler's iso-F overlay math
+    (ConceptMapperEvalOutputCompiler.java:213-223): every point on the
+    curve reproduces F, undefined region returns None."""
+    from kgpipe.grid import iso_f_curve, iso_f_precision
+
+    f = 0.6
+    for r, p in iso_f_curve(f, n_points=20):
+        # curve points are rounded to 6 decimals → F reproduces to ~1e-6
+        assert abs(2 * p * r / (p + r) - f) < 1e-5
+    assert iso_f_precision(0.6, 0.3) is None     # r == f/2: undefined
+    assert iso_f_precision(0.6, 0.2) is None     # below the asymptote
+    assert abs(iso_f_precision(0.5, 0.5) - 0.5) < 1e-12  # symmetric point
