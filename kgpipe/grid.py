@@ -155,7 +155,7 @@ def run_grid_fused(
     from pyspark.sql import functions as F
 
     from .obo import dictionary_rows, parse_obo
-    from .trie import DictionaryTrie
+    from .trie import DictionaryTrie, pretokenize
 
     if span != "STRICT":
         raise ValueError("run_grid_fused evaluates STRICT span only")
@@ -180,9 +180,13 @@ def run_grid_fused(
                 if text is None:
                     continue
                 ti = int(turn_idx)
+                # tokenize ONCE per turn for the whole permutation space
+                # (chunking/raw tokens are knob-independent) — at 576
+                # permutations this removes 575 re-tokenizations per turn
+                pretok = pretokenize(text)
                 for idx, trie in tries_local.items():
                     seen = set()
-                    for _, cid, b, e, _cov in trie.scan_text(text):
+                    for _, cid, b, e, _cov in trie.scan_text(text, pretok):
                         key = (cid, b, e)
                         if key in seen:
                             continue
