@@ -203,39 +203,42 @@ def fused_conv_triples(
         tries_l, comp = bc.value
         pending_key = None
         pending_turns: list = []
+
+        def make_emit(out):
+            def emit(subj, pred, obj, conv_id, turn_idx=None,
+                     ev=(None, None, None)):
+                out["subj"].append(subj)
+                out["pred"].append(pred)
+                out["obj"].append(obj)
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(turn_idx)
+                out["ev_begin"].append(ev[0])
+                out["ev_end"].append(ev[1])
+                out["ev_text"].append(ev[2])
+            return emit
+
+        def process(key, turns, emit):
+            conv_id, block = key
+            try:
+                _process_conv(conv_id, int(block), turns, emit,
+                              tries_l, comp)
+            except Exception as exc:
+                if not quarantine_errors:
+                    raise
+                # per-conversation quarantine (the reference records
+                # per-doc errors in its run catalog,
+                # RunCatalogAE.java:107-112): one ERROR_PRED row instead
+                # of a failed task; kgpipe.pipeline's lineage integration
+                # turns it into an ERROR lineage bucket
+                emit(CONV_NS + conv_id, ERROR_PRED,
+                     f"{type(exc).__name__}: {exc}", conv_id)
+
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             out = {k: [] for k in _OUT_COLS}
-
-            def emit(subj, pred, obj, conv_id, turn_idx=None,
-                     ev=(None, None, None), _out=out):
-                _out["subj"].append(subj)
-                _out["pred"].append(pred)
-                _out["obj"].append(obj)
-                _out["conv_id"].append(conv_id)
-                _out["turn_idx"].append(turn_idx)
-                _out["ev_begin"].append(ev[0])
-                _out["ev_end"].append(ev[1])
-                _out["ev_text"].append(ev[2])
-
-            def process(key, turns):
-                conv_id, block = key
-                try:
-                    _process_conv(conv_id, int(block), turns, emit,
-                                  tries_l, comp)
-                except Exception as exc:
-                    if not quarantine_errors:
-                        raise
-                    # per-conversation quarantine (the reference records
-                    # per-doc errors in its run catalog,
-                    # RunCatalogAE.java:107-112): one ERROR_PRED row
-                    # instead of a failed task; kgpipe.pipeline's lineage
-                    # integration turns it into an ERROR lineage bucket
-                    emit(CONV_NS + conv_id, ERROR_PRED,
-                         f"{type(exc).__name__}: {exc}", conv_id)
-
+            emit = make_emit(out)
             conv_a = pdf["conv_id"].to_numpy()
             block_a = pdf["block"].to_numpy()
             ti_a = pdf["turn_idx"].to_numpy()
@@ -246,29 +249,15 @@ def fused_conv_triples(
                 key = (conv_a[i], block_a[i])
                 if key != cur_key:
                     if cur_key is not None:
-                        process(cur_key, cur_turns)
+                        process(cur_key, cur_turns, emit)
                     cur_key, cur_turns = key, []
                 cur_turns.append((int(ti_a[i]), text_a[i], bool(ghost_a[i])))
             pending_key, pending_turns = cur_key, cur_turns
             if out["subj"]:
                 yield pd.DataFrame(out)
-        if pending_key is not None:
+        if pending_key is not None:  # flush the partition's last group
             out = {k: [] for k in _OUT_COLS}
-
-            def emit(subj, pred, obj, conv_id, turn_idx=None,
-                     ev=(None, None, None), _out=out):
-                for k, v in zip(_OUT_COLS, (subj, pred, obj, conv_id,
-                                            turn_idx, ev[0], ev[1], ev[2])):
-                    _out[k].append(v)
-
-            try:
-                _process_conv(pending_key[0], int(pending_key[1]),
-                              pending_turns, emit, tries_l, comp)
-            except Exception as exc:
-                if not quarantine_errors:
-                    raise
-                emit(CONV_NS + pending_key[0], ERROR_PRED,
-                     f"{type(exc).__name__}: {exc}", pending_key[0])
+            process(pending_key, pending_turns, make_emit(out))
             if out["subj"]:
                 yield pd.DataFrame(out)
 

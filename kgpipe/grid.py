@@ -262,7 +262,8 @@ def iso_f_precision(f: float, r: float) -> float | None:
     denom = 2.0 * r - f
     if denom <= 0:
         return None
-    return f * r / denom
+    p = f * r / denom
+    return p if p <= 1.0 else None  # p > 1 is equally unreachable
 
 
 def iso_f_curve(f: float, n_points: int = 50,

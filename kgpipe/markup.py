@@ -36,33 +36,37 @@ _ENTITY_CHAR = {"lt": "<", "gt": ">", "quot": '"', "apos": "'", "amp": "&"}
 
 SEG_SCHEMA = T.ArrayType(
     T.StructType(
-        [T.StructField("c", T.IntegerType()), T.StructField("r", T.IntegerType())]
+        [T.StructField("c", T.IntegerType()), T.StructField("r", T.IntegerType()),
+         T.StructField("w", T.IntegerType())]
     )
 )
 
 
-def strip_markup(raw: str) -> tuple[str, list[tuple[int, int]]]:
-    """Return ``(clean_text, segments)`` where each segment ``(c, r)`` maps
-    clean offsets ``>= c`` (until the next segment) to ``r + (pos - c)`` in
-    the raw string.  Tags are removed; ``&lt; &gt; &quot; &apos; &amp;``
-    decode to one character anchored at the entity's raw start."""
+def strip_markup(raw: str) -> tuple[str, list[tuple[int, int, int]]]:
+    """Return ``(clean_text, segments)`` where each segment ``(c, r, w)``
+    maps clean offsets ``>= c`` (until the next segment) to ``r + (pos -
+    c)`` in the raw string; ``w`` is the RAW width of one clean character
+    in the segment (1 for copy runs, the entity length for decoded
+    entities) so span ENDS can cover a whole trailing entity.  Tags are
+    removed; ``&lt; &gt; &quot; &apos; &amp;`` decode to one character
+    anchored at the entity's raw start."""
     out: list[str] = []
-    segs: list[tuple[int, int]] = []
+    segs: list[tuple[int, int, int]] = []
     clean_pos = 0
     raw_pos = 0
     for m in _MARKUP_RE.finditer(raw):
         if m.start() > raw_pos:  # copy run before the match
-            segs.append((clean_pos, raw_pos))
+            segs.append((clean_pos, raw_pos, 1))
             run = raw[raw_pos:m.start()]
             out.append(run)
             clean_pos += len(run)
         if m.group(1):  # entity → one decoded char anchored at its start
-            segs.append((clean_pos, m.start()))
+            segs.append((clean_pos, m.start(), m.end() - m.start()))
             out.append(_ENTITY_CHAR[m.group(1)])
             clean_pos += 1
         raw_pos = m.end()
     if raw_pos < len(raw):
-        segs.append((clean_pos, raw_pos))
+        segs.append((clean_pos, raw_pos, 1))
         out.append(raw[raw_pos:])
     return "".join(out), segs
 
@@ -70,7 +74,7 @@ def strip_markup(raw: str) -> tuple[str, list[tuple[int, int]]]:
 STRIPPED_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string,"
     " ts timestamp, raw_text string,"
-    " segs array<struct<c:int,r:int>>"
+    " segs array<struct<c:int,r:int,w:int>>"
 )
 
 
@@ -91,7 +95,7 @@ def strip_markup_turns(transcripts: DataFrame) -> DataFrame:
                 clean, segs = strip_markup(raw)
                 cleans.append(clean)
                 rawz.append(raw)
-                segz.append([{"c": c, "r": r} for c, r in segs])
+                segz.append([{"c": c, "r": r, "w": w} for c, r, w in segs])
             out = pdf[["conv_id", "turn_idx", "role", "tool", "ts"]].copy()
             out["text"] = cleans
             out["raw_text"] = rawz
@@ -111,17 +115,26 @@ def _raw_offset(segs: Column, clean_off: Column) -> Column:
     return seg["r"] + (clean_off - seg["c"])
 
 
+def _raw_char_end(segs: Column, clean_off: Column) -> Column:
+    """Raw END (exclusive) of the clean character at *clean_off*: its raw
+    start plus the segment's per-char raw width — a trailing decoded entity
+    covers its whole ``&...;`` source, not just the first raw byte."""
+    seg = F.element_at(F.filter(segs, lambda s: s["c"] <= clean_off), -1)
+    return seg["r"] + (clean_off - seg["c"]) + seg["w"]
+
+
 def map_mention_offsets(
     mentions: DataFrame, stripped: DataFrame
 ) -> DataFrame:
     """Join clean-text mentions back to their turns' offset maps and add
     ``raw_begin`` / ``raw_end`` columns (original-text spans).  ``end`` is
-    exclusive, so it maps via the last covered char + 1 — a mention ending
-    exactly at a removed-tag boundary still gets the tight raw span."""
+    exclusive, so it maps via the raw end of the LAST covered char — a
+    mention ending at a removed-tag boundary or on a decoded entity still
+    gets the tight covering raw span."""
     maps = stripped.select("conv_id", "turn_idx", "segs")
     m = mentions.join(maps, ["conv_id", "turn_idx"], "left")
     return m.withColumn(
         "raw_begin", _raw_offset(F.col("segs"), F.col("begin"))
     ).withColumn(
-        "raw_end", _raw_offset(F.col("segs"), F.col("end") - 1) + 1
+        "raw_end", _raw_char_end(F.col("segs"), F.col("end") - 1)
     ).drop("segs")

@@ -99,18 +99,30 @@ def ptb_tokenize(text: str) -> list[str]:
 
 def ptb_tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     """``[(token, begin, end)]`` under PTB tokenization, offsets into the
-    ORIGINAL text.  Alignment is exact because the cascade never alters
-    token characters (see module comment)."""
+    ORIGINAL text.  The cascade never alters non-whitespace characters, but
+    one rule DELETES a space (``" ([A-Z]) \\." → " \\1. "`` rejoins an
+    initial with its period), so a token's characters appear in the
+    original in order, possibly with whitespace between them — alignment
+    walks char-by-char skipping whitespace, and the span covers first
+    through last character (``text[begin:end]`` equals the token up to
+    interior whitespace)."""
     out: list[tuple[str, int, int]] = []
     pos = 0
+    n = len(text)
     for tok in ptb_tokenize(text):
-        if not tok:
-            continue
-        idx = text.find(tok, pos)
-        if idx < 0:  # defensive: should be unreachable given the invariant
-            raise ValueError(f"cannot align PTB token {tok!r} at {pos}")
-        out.append((tok, idx, idx + len(tok)))
-        pos = idx + len(tok)
+        start = None
+        for ch in tok:
+            while pos < n and text[pos] != ch and text[pos].isspace():
+                pos += 1
+            if pos >= n or text[pos] != ch:
+                # unreachable given the cascade's insert/collapse-whitespace
+                # behaviour; defensive for future rule edits
+                raise ValueError(f"cannot align PTB token {tok!r} at {pos}")
+            if start is None:
+                start = pos
+            pos += 1
+        if start is not None:
+            out.append((tok, start, pos))
     return out
 
 

@@ -103,7 +103,11 @@ def run_pipeline(
     lineage_path: Optional[str] = None,
 ) -> DataFrame:
     """Full run; with *lineage_path* the run is resumable per bucket."""
-    dictionary = build_dictionary_df(spark, cfg.obo_paths)
+    # the SAME per-ontology configs must shape both sides: the dictionary
+    # build (variant_norm normalization, synonym filtering) and the scan
+    # (grid.run_grid passes configs to both for exactly this reason) — a
+    # config override applied to only one side silently mismatches the trie
+    dictionary = build_dictionary_df(spark, cfg.obo_paths, cfg.detect_configs)
     concept_col = "canonical_id" if cfg.canonical else "concept_id"
 
     if cfg.fused:
@@ -241,12 +245,14 @@ def main(argv: Optional[list[str]] = None) -> None:
         mayla_freq = MAYLA_CONCEPT_FREQ
     else:
         mayla_freq = args.mayla_freq
+    # a threshold flag implies the Mayla stage itself
+    mayla = args.mayla or args.mayla_ns_freq or args.mayla_freq is not None
     cfg = PipelineConfig(
         obo_paths=dict(kv.split("=", 1) for kv in args.obo),
         run_key=args.run_key,
         n_buckets=args.buckets,
         cooc_window=args.cooc_window,
-        mayla=args.mayla,
+        mayla=mayla,
         mayla_concept_freq=mayla_freq,
         disambiguate=not args.no_disambiguate,
         canonical=not args.no_canonical,

@@ -50,10 +50,23 @@ def read_text_dir(
         # boundary names from the file listing (metadata-sized, driver-side)
         # and push a narrow range filter into the scan — a global
         # row_number window here would sort every document's text through
-        # one task (the round-1 plan audit's single-task sort).
+        # one task (the round-1 plan audit's single-task sort).  glob only
+        # sees driver-local filesystems; remote schemes (hdfs://, s3a://)
+        # fall back to the windowed path rather than silently reading
+        # nothing.
         import glob as _glob
 
         names = sorted(_glob.glob(f"{path}/*{suffix}"))
+        if not names and "://" in path:
+            from pyspark.sql import Window
+
+            w = Window.orderBy("src_file")
+            df = df.withColumn("__rn", F.row_number().over(w)).filter(
+                F.col("__rn") > skip
+            )
+            if num is not None:
+                df = df.filter(F.col("__rn") <= skip + num)
+            return df.drop("__rn").select("doc_id", "text", "src_file")
         window_names = names[skip:skip + num if num is not None else None]
         if not window_names:
             return df.filter(F.lit(False)).select("doc_id", "text", "src_file")

@@ -345,7 +345,13 @@ def stream_triples(
     ).select(
         F.col("t.subj").alias("subj"), F.col("t.pred").alias("pred"),
         F.col("t.obj").alias("obj"), "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
+        # conv-level rdf:type rides the per-turn explode (stateless stream —
+        # no per-conv grouping), so null its turn_idx: recurrences across
+        # turns/batches become IDENTICAL rows, matching the batch plans'
+        # shape and letting readers (or an Iceberg MERGE sink) dedupe the
+        # tiny slice on full rows
+        F.when(F.col("t.pred") == RDF_TYPE, F.lit(None))
+        .otherwise(F.col("turn_idx")).cast("int").alias("turn_idx"),
         none_ev.alias("evidence"),
     )
     triples = denotes.unionByName(structure)

@@ -30,7 +30,7 @@ def test_strip_markup_golden():
 
 def test_strip_markup_edge_cases():
     assert strip_markup("no markup at all") == (
-        "no markup at all", [(0, 0)]
+        "no markup at all", [(0, 0, 1)]
     )
     assert strip_markup("<a><b></b></a>")[0] == ""
     assert strip_markup("&lt;tag&gt; &quot;q&quot; &apos;a&apos;")[0] == \
@@ -53,6 +53,26 @@ def test_strip_markup_all_positions_map():
     for i, ch in enumerate(clean):
         if i not in entity_positions:
             assert raw[raw_of(i)] == ch, (i, ch)
+
+
+def test_entity_ending_span_covers_whole_entity(spark):
+    """A mention whose LAST clean char decodes from a multi-char entity
+    must map its raw_end past the whole &...; source (review finding)."""
+    from pyspark.sql import functions as F
+
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user", "risk &lt;5 stuff", None, None)], T_SCHEMA)
+    stripped = strip_markup_turns(tdf)
+    clean = stripped.first()
+    assert clean.text == "risk <5 stuff"
+    # synthetic mention covering clean [0, 6) == "risk <"
+    mentions = spark.createDataFrame(
+        [("c1", 0, "X:1", 0, 6, "risk <")],
+        "conv_id string, turn_idx int, concept_id string, begin int,"
+        " end int, covered_text string")
+    m = map_mention_offsets(mentions, stripped).first()
+    raw = clean.raw_text
+    assert raw[m.raw_begin:m.raw_end] == "risk &lt;"
 
 
 def test_detect_on_stripped_maps_back_to_raw(spark):

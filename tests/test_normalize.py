@@ -79,9 +79,12 @@ def test_ptb_tokenize_offsets_exact():
         "",
         "   spaced   out   ",
     ]
+    texts.append("vitamin A . next")     # space-deleting rule: 'A .' -> 'A.'
     for text in texts:
         for tok, b, e in ptb_tokenize_with_offsets(text):
-            assert text[b:e] == tok, (text, tok, b, e)
+            # exact for ordinary tokens; tokens merged across a deleted
+            # space (initial + period) cover the interior whitespace
+            assert "".join(text[b:e].split()) == tok, (text, tok, b, e)
 
 
 def test_ptb_tokenize_offsets_property():
@@ -99,8 +102,8 @@ def test_ptb_tokenize_offsets_property():
         spans = ptb_tokenize_with_offsets(text)
         last = 0
         for tok, b, e in spans:
-            assert b >= last and e - b == len(tok)
-            assert text[b:e] == tok
+            assert b >= last and e - b >= len(tok)
+            assert "".join(text[b:e].split()) == tok
             last = e
 
     check()

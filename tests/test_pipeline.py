@@ -67,3 +67,30 @@ def test_full_pipeline_writes_triples(spark, tmp_path):
     before = triples.count()
     run_pipeline(spark, tdf, cfg, out, lin)
     assert spark.read.parquet(out).count() == before
+
+
+def test_detect_configs_shape_dictionary_and_scan(spark, tmp_path):
+    """A detect_configs override must shape BOTH the dictionary build and
+    the scan (review finding: one-sided overrides silently mismatch the
+    trie).  CASE_SENSITIVE: lowercase surface matches, capitalized does
+    not."""
+    from conftest import MINI_OBO
+    from kgpipe.normalize import MatchConfig
+    from kgpipe.pipeline import PipelineConfig, run_pipeline
+
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user", "a neuron appears", None, None),
+         ("c2", 0, "user", "a Neuron appears", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    cs = MatchConfig("CONTIGUOUS_MATCH", "CASE_SENSITIVE", "NONE", "NONE",
+                     False, False, "EXACT_ONLY")
+    cfg = PipelineConfig(obo_paths={"CL": MINI_OBO}, disambiguate=False,
+                         canonical=False, n_buckets=4,
+                         detect_configs={"CL": cs})
+    run_pipeline(spark, tdf, cfg, str(tmp_path / "t"))
+    out = spark.read.parquet(str(tmp_path / "t"))
+    denotes = out.filter("pred = 'http://purl.org/kgpipe/denotes'")
+    convs = {r.conv_id for r in denotes.collect()}
+    assert convs == {"c1"}  # case-sensitive: only the lowercase surface
