@@ -8,9 +8,10 @@
   vector lands in a small number of buckets, candidates join on bucket
   equality, exact cosine re-ranks.  At 100 TB this turns an O(n·q) scan
   into an equi-join both sides of which prune to bucket granularity.
-- ``ivf_topk``: IVF-style coarse quantization without a training step:
-  centroid = argmax |component| sign pattern over a fixed projection set —
-  deterministic, no fit stage needed for the harness.
+- ``ivf_topk``: IVF-style coarse quantization + probed re-rank; centroids
+  come from ``train_centroids`` (driver-side spherical k-means on a corpus
+  sample — the offline training step, run once and broadcast) or, for
+  notebooks, a deterministic id-stride fallback.
 """
 
 from __future__ import annotations
@@ -263,3 +264,64 @@ def pairwise_cosine_dedup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def train_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    sample_fraction: float = 0.1,
+    max_sample: int = 10_000,
+    n_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The offline centroid-training step ``ivf_topk`` expects: k-means on
+    a driver-side SAMPLE of the corpus (deterministic seed), returning the
+    ``(cell_id, vector)`` list to broadcast into the assignment pass.
+
+    At 100 TB you run this once on a small sample (the sample, not the
+    corpus, bounds driver memory — ``max_sample`` caps it) and reuse the
+    centroids across queries; spherical k-means (cosine geometry: normalize
+    then mean-renormalize) matches the cosine assignment in ``ivf_topk``."""
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .sample(fraction=sample_fraction, seed=seed)
+        .limit(max_sample)
+        .collect()
+    )
+    if not rows:
+        rows = vectors.select(
+            F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+        ).limit(max(n_centroids, 1)).collect()
+    x = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    k = min(n_centroids, len(x))
+    rng = np.random.RandomState(seed)
+    # k-means++-style seeding (cosine distance): spreads the initial seeds
+    # across clusters instead of letting a random draw double-seed one
+    idx = [int(rng.randint(len(x)))]
+    for _ in range(k - 1):
+        sims = x @ x[idx].T
+        d = np.maximum(1.0 - sims.max(axis=1), 0.0)
+        total = d.sum()
+        if total <= 0:
+            idx.append(int(rng.randint(len(x))))
+        else:
+            idx.append(int(rng.choice(len(x), p=d / total)))
+    cent = x[idx].copy()
+    for _ in range(n_iter):
+        sims = x @ cent.T                      # cosine on unit vectors
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return [(c, [float(v) for v in cent[c]]) for c in range(k)]

@@ -67,3 +67,42 @@ def test_ivf_topk_recall_and_exactness(spark):
     for qid in range(4):
         assert (qid, qid) in part
     assert len(part & exact) >= len(exact) // 2
+
+
+def test_train_centroids_and_ivf(spark):
+    """Offline k-means trainer feeds ivf_topk's production path: clustered
+    synthetic vectors recover their clusters, and probed search finds the
+    exact nearest neighbour for in-cluster queries."""
+    import math
+    import random
+
+    from kgpipe.similarity import ivf_topk, train_centroids
+
+    rng = random.Random(7)
+    dim = 8
+    bases = [[1 if d == a else 0 for d in range(dim)] for a in range(4)]
+    rows = []
+    for i in range(400):
+        b = bases[i % 4]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in b]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = train_centroids(vecs, n_centroids=4, sample_fraction=0.5,
+                            n_iter=8, seed=1)
+    assert len(cents) == 4
+    # each trained centroid is close to one of the 4 cluster bases
+    for _, c in cents:
+        best = max(
+            sum(a * b for a, b in zip(c, base))
+            / (math.sqrt(sum(a * a for a in c)) or 1.0)
+            for base in bases
+        )
+        assert best > 0.95, c
+
+    queries = vecs.filter("vec_id < 4").selectExpr(
+        "vec_id as q_id", "embedding as q_vec")
+    got = {(r.q_id, r.rank): r.vec_id
+           for r in ivf_topk(vecs, queries, k=1, n_probe=1,
+                             centroids=cents).collect()}
+    for q in range(4):
+        assert got[(q, 1)] == q  # each vector's own nearest is itself
