@@ -180,14 +180,14 @@ def tfidf_disambiguate(mentions: DataFrame, exact: bool = False) -> DataFrame:
     The output stays hash-partitioned by conv_id; downstream windows and
     per-conv aggregations with conv-prefixed keys reuse the clustering
     (equi-joins still insert their own exact-key exchanges)."""
-    # explicit partition count: a bare repartition("conv_id") is an AQE
-    # coalescing target that can collapse a byte-light stream to 1-2
-    # partitions and serialize both windows (same trap measured and fixed
-    # in kgpipe.fused — partition count must track CPU, not bytes)
-    n_parts = int(
-        mentions.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    from .session import cpu_partition_count
+
+    # explicit partition count (session.cpu_partition_count): a bare
+    # repartition("conv_id") is an AQE coalescing target that can collapse
+    # a byte-light stream to 1-2 partitions and serialize both windows
+    m = mentions.repartition(
+        cpu_partition_count(mentions.sparkSession), "conv_id"
     )
-    m = mentions.repartition(n_parts, "conv_id")
     cd = F.countDistinct("conv_id") if exact else F.approx_count_distinct("conv_id")
     # aggregate straight off the (cached) mention stream — routing these
     # through the conv_id repartition would add a useless exchange under

@@ -268,9 +268,9 @@ def fused_conv_triples(
     # core efficiency fell from ≥0.9 to 0.73).  The Python cost per byte is
     # far higher than a shuffle-read's, so partition count must track CPU,
     # not bytes.
-    n_parts = int(
-        transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    from .session import cpu_partition_count
+
+    n_parts = cpu_partition_count(transcripts.sparkSession)
     if block_size is None:
         keyed = base.withColumn("block", F.lit(0)).withColumn(
             "is_ghost", F.lit(False)

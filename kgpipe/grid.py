@@ -275,6 +275,6 @@ def iso_f_curve(f: float, n_points: int = 50,
     for i in range(1, n_points + 1):
         r = lo + (r_max - lo) * i / n_points
         p = iso_f_precision(f, r)
-        if p is not None and p <= 1.0:
+        if p is not None:  # None covers both undefined and p > 1
             out.append((round(r, 6), round(p, 6)))
     return out

@@ -29,17 +29,10 @@ import re
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F
 
 _MARKUP_RE = re.compile(r"<[^>]*>|&(lt|gt|quot|apos|amp);")
 _ENTITY_CHAR = {"lt": "<", "gt": ">", "quot": '"', "apos": "'", "amp": "&"}
-
-SEG_SCHEMA = T.ArrayType(
-    T.StructType(
-        [T.StructField("c", T.IntegerType()), T.StructField("r", T.IntegerType()),
-         T.StructField("w", T.IntegerType())]
-    )
-)
 
 
 def strip_markup(raw: str) -> tuple[str, list[tuple[int, int, int]]]:

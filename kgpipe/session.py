@@ -39,3 +39,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def cpu_partition_count(spark, default: int = 200) -> int:
+    """Explicit partition count for CPU-bound (Python) stages: AQE may
+    coalesce a bare repartition to byte-sized partitions and serialize the
+    stage, so callers pin the count — spark.sql.shuffle.partitions when
+    numeric, else the cluster default parallelism."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            return default

@@ -283,7 +283,11 @@ def train_centroids(
     At 100 TB you run this once on a small sample (the sample, not the
     corpus, bounds driver memory — ``max_sample`` caps it) and reuse the
     centroids across queries; spherical k-means (cosine geometry: normalize
-    then mean-renormalize) matches the cosine assignment in ``ivf_topk``."""
+    then mean-renormalize) matches the cosine assignment in ``ivf_topk``.
+    The seed fixes the draw for a given data layout; across different
+    partitionings the surviving ``limit`` rows can differ, so PERSIST the
+    trained centroids (they are the reusable artifact) rather than
+    expecting retraining to reproduce them bit-for-bit."""
     import numpy as np
 
     rows = (
@@ -296,6 +300,8 @@ def train_centroids(
         rows = vectors.select(
             F.col(id_col).alias("i"), F.col(vec_col).alias("v")
         ).limit(max(n_centroids, 1)).collect()
+    if not rows:
+        raise ValueError("train_centroids: no vectors to train on")
     x = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

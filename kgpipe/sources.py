@@ -47,17 +47,16 @@ def read_text_dir(
     )
     if skip or num is not None:
         # skip/limit is deterministic by FILE NAME order, so derive the
-        # boundary names from the file listing (metadata-sized, driver-side)
-        # and push a narrow range filter into the scan — a global
-        # row_number window here would sort every document's text through
-        # one task (the round-1 plan audit's single-task sort).  glob only
-        # sees driver-local filesystems; remote schemes (hdfs://, s3a://)
-        # fall back to the windowed path rather than silently reading
-        # nothing.
-        import glob as _glob
-
-        names = sorted(_glob.glob(f"{path}/*{suffix}"))
-        if not names and "://" in path:
+        # boundary names from the file listing (metadata-sized, driver-side
+        # Hadoop globStatus — works for local, HDFS, and object-store
+        # schemes alike, including schemeless paths on a remote
+        # fs.defaultFS) and push a narrow range filter into the scan — a
+        # global row_number window here would sort every document's text
+        # through one task (the round-1 plan audit's single-task sort).
+        names = _list_files(spark, f"{path}/*{suffix}")
+        if names is None:
+            # listing unavailable (exotic FS): windowed fallback — correct
+            # but single-task-sorted; acceptable only off the hot path
             from pyspark.sql import Window
 
             w = Window.orderBy("src_file")
@@ -76,6 +75,22 @@ def read_text_dir(
             (base >= lo.rsplit("/", 1)[-1]) & (base <= hi.rsplit("/", 1)[-1])
         )
     return df.select("doc_id", "text", "src_file")
+
+
+def _list_files(spark: SparkSession, pattern: str) -> list[str] | None:
+    """Driver-side file listing through the Hadoop FileSystem API (the same
+    resolver ``spark.read`` uses, so local/HDFS/object-store paths and a
+    remote fs.defaultFS all behave); None when the FS refuses to list."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        statuses = fs.globStatus(jpath)
+        if statuses is None:
+            return []
+        return sorted(str(s.getPath()) for s in statuses)
+    except Exception:
+        return None
 
 
 def text_dir_to_transcripts(docs: DataFrame) -> DataFrame:
