@@ -96,3 +96,32 @@ def test_detect_on_stripped_maps_back_to_raw(spark):
     for m in mapped:
         raw = raw_by_turn[(m.conv_id, m.turn_idx)]
         assert raw[m.raw_begin:m.raw_end] == m.covered_text, m
+
+
+def test_strip_markup_property_random_inputs():
+    """Property: on arbitrary markup-ish input the scanner never crashes,
+    offsets stay in bounds, every non-entity clean char maps to an
+    identical raw char, and entity chars map to a '&...;' source."""
+    from hypothesis import given, strategies as st
+
+    @given(st.text(alphabet="ab <>&;lt/gquo\"'x1", max_size=80))
+    def check(raw):
+        clean, segs = strip_markup(raw)
+        assert len(clean) <= len(raw)
+        if not any(c in raw for c in "<&"):
+            assert clean == raw
+            assert segs == ([(0, 0, 1)] if raw else [])
+
+        def seg_of(off):
+            return [s for s in segs if s[0] <= off][-1]
+
+        for i, ch in enumerate(clean):
+            c, r, w = seg_of(i)
+            rb = r + (i - c)
+            assert 0 <= rb < len(raw)
+            if w == 1:
+                assert raw[rb] == ch, (raw, clean, i)
+            else:  # decoded entity: raw span is the whole &...; source
+                assert raw[rb] == "&" and raw[rb + w - 1] == ";"
+
+    check()
