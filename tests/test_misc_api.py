@@ -90,3 +90,26 @@ def test_write_triples_layouts_same_rows(spark, tmp_path):
     assert p.exceptAll(c).count() == 0 and c.exceptAll(p).count() == 0
     import os
     assert any(d.startswith("bucket=") for d in os.listdir(tmp_path / "p"))
+
+
+def test_assume_unique_turns_duplicate_input_rows(spark):
+    """Replayed (duplicated) input rows: the default turn-local dedup
+    cannot see them (documented input invariant), while
+    assume_unique_turns=False restores the corpus-wide
+    DuplicateAnnotationRemovalFilter pass."""
+    from kgpipe.detect import build_dictionary_df
+    from kgpipe.pipeline import PipelineConfig, build_mentions
+
+    row = ("c1", 0, "user", "a neuron appears", None, None)
+    tdf = spark.createDataFrame([row, row], T_SCHEMA)  # replayed turn
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO})
+
+    strict = build_mentions(
+        tdf, ddf, PipelineConfig(disambiguate=False, canonical=False))
+    assert strict.count() == 2  # duplicate survives under the invariant
+
+    lenient = build_mentions(
+        tdf, ddf,
+        PipelineConfig(disambiguate=False, canonical=False,
+                       assume_unique_turns=False))
+    assert lenient.count() == 1
