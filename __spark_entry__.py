@@ -1630,7 +1630,7 @@ WITH raw AS (
 c AS (
   SELECT conv_id, raw_text,
          replace(replace(replace(replace(replace(
-           regexp_replace(raw_text, '<[^>]*>', '', 'g'),
+           regexp_replace(raw_text, '</?[A-Za-z!?][^>]*>', '', 'g'),
            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
            '&amp;', '&') AS clean
   FROM raw

@@ -75,10 +75,14 @@ def collect_dictionary(dictionary: DataFrame) -> list[dict]:
     the dictionary job per stage.  DataFrames produced by
     ``build_dictionary_df`` carry their driver-side rows and skip the
     collect job entirely (any transformation drops the attribute, so a
-    filtered/modified dictionary falls back to a real collect)."""
+    filtered/modified dictionary falls back to a real collect).
+
+    Always returns fresh row dicts: the cached list feeds the trie build,
+    canonicalization, and streaming consumers, so handing out the shared
+    objects would let one caller's mutation corrupt every other consumer."""
     rows = getattr(dictionary, "_kgpipe_local_rows", None)
     if rows is not None:
-        return rows
+        return [dict(r) for r in rows]
     return [r.asDict() for r in dictionary.collect()]
 
 

@@ -75,6 +75,7 @@ def fused_conv_triples(
     canonical: bool = True,
     max_turns_per_group: Optional[int] = None,
     quarantine_errors: bool = False,
+    cache_registry: Optional[list] = None,
 ) -> DataFrame:
     """transcripts → full triple set with one shuffle (see module doc).
 
@@ -328,7 +329,12 @@ def fused_conv_triples(
         conversation_triples(transcripts)
     )
     if block_size is not None:
-        # split mode persists the applyInPandas output (see above); hand
-        # the cached frame to callers so long-lived sessions can release it
+        # split mode persists the mapInPandas output (see above); hand the
+        # cached frame to the caller for release after its terminal action.
+        # Callers that can't pass *cache_registry* still find it on the
+        # returned frame — but any transformation drops that attribute, so
+        # the registry is the supported protocol (kgpipe.pipeline uses it).
+        if cache_registry is not None:
+            cache_registry.append(grouped)
         result._kgpipe_persisted = grouped  # type: ignore[attr-defined]
     return result

@@ -31,7 +31,10 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-_MARKUP_RE = re.compile(r"<[^>]*>|&(lt|gt|quot|apos|amp);")
+# tag branch is TAG-SHAPED only (`</?[A-Za-z!?]...>` — elements, comments,
+# PIs): a bare '<' in prose or code ("if a < b and c > d") copies through
+# instead of being swallowed as a pseudo-tag
+_MARKUP_RE = re.compile(r"</?[A-Za-z!?][^>]*>|&(lt|gt|quot|apos|amp);")
 _ENTITY_CHAR = {"lt": "<", "gt": ">", "quot": '"', "apos": "'", "amp": "&"}
 
 

@@ -122,6 +122,8 @@ def run_pipeline(
         from .fused import ERROR_PRED, fused_conv_triples
         from .triples import PRED_DENOTES
 
+        fused_caches: list[DataFrame] = []
+
         def _make_flat(tdf: DataFrame) -> DataFrame:
             return fused_conv_triples(
                 tdf, dictionary, configs=cfg.detect_configs,
@@ -129,6 +131,7 @@ def run_pipeline(
                 disambiguate=cfg.disambiguate, canonical=cfg.canonical,
                 max_turns_per_group=cfg.max_turns_per_group,
                 quarantine_errors=bool(lineage_path),
+                cache_registry=fused_caches,
             )
 
         if lineage_path:
@@ -142,9 +145,8 @@ def run_pipeline(
             def _fused_stage(tdf: DataFrame):
                 flat = _make_flat(tdf).persist()
                 persisted.append(flat)
-                inner = getattr(flat, "_kgpipe_persisted", None)
-                if inner is not None:  # split-mode applyInPandas cache
-                    persisted.append(inner)
+                persisted.extend(fused_caches)  # split-mode scan cache
+                fused_caches.clear()
                 errors = flat.filter(F.col("pred") == ERROR_PRED).select(
                     "conv_id",
                     F.lit("__ERROR__").alias("concept_id"),
@@ -171,9 +173,8 @@ def run_pipeline(
 
         triples = _make_flat(transcripts)
         write_triples(triples, output_path, cfg.n_buckets, mode="overwrite")
-        cached = getattr(triples, "_kgpipe_persisted", None)
-        if cached is not None:
-            cached.unpersist()
+        for df in fused_caches:
+            df.unpersist()
         return triples
 
     caches: list[DataFrame] = []

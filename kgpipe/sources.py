@@ -39,10 +39,17 @@ def read_text_dir(
         )
         .withColumn(
             "doc_id",
-            F.regexp_replace(
-                F.element_at(F.split(F.col("src_file"), "/"), -1),
-                f"{suffix}$", "",
-            ),
+            # input_file_name() is a percent-encoded URI; decode so spacey
+            # filenames yield their real name as doc_id.  A literal '+' is
+            # NOT form-encoded in a file URI, so shield it from
+            # url_decode's '+'→space rule before decoding.
+            F.url_decode(F.replace(
+                F.regexp_replace(
+                    F.element_at(F.split(F.col("src_file"), "/"), -1),
+                    f"{suffix}$", "",
+                ),
+                F.lit("+"), F.lit("%2B"),
+            )),
         )
     )
     if skip or num is not None:
@@ -69,11 +76,20 @@ def read_text_dir(
         window_names = names[skip:skip + num if num is not None else None]
         if not window_names:
             return df.filter(F.lit(False)).select("doc_id", "text", "src_file")
-        lo, hi = window_names[0], window_names[-1]
+        # membership, not a lexicographic range: only files actually in the
+        # listed window pass (a range also admits same-range names the
+        # listing never saw).  input_file_name() yields a percent-encoded
+        # URI while the Hadoop listing may not encode, so match each window
+        # basename in raw, quoted, and unquoted forms (InSet, still pushed
+        # ahead of the text read).
+        from urllib.parse import quote, unquote
+
+        basenames: set[str] = set()
+        for n in window_names:
+            b = n.rsplit("/", 1)[-1]
+            basenames.update({b, quote(b), unquote(b)})
         base = F.element_at(F.split(F.col("src_file"), "/"), -1)
-        df = df.filter(
-            (base >= lo.rsplit("/", 1)[-1]) & (base <= hi.rsplit("/", 1)[-1])
-        )
+        df = df.filter(base.isin(sorted(basenames)))
     return df.select("doc_id", "text", "src_file")
 
 

@@ -75,6 +75,19 @@ def test_read_text_dir_and_split(spark, tmp_path):
     assert read_text_dir(spark, str(tmp_path), skip=1).first().doc_id == "b"
 
 
+def test_read_text_dir_window_membership(spark, tmp_path):
+    """skip/num selects by MEMBERSHIP in the listed window (not a
+    name range), and percent-encoded basenames from input_file_name()
+    (e.g. filenames with spaces) still match the listing."""
+    (tmp_path / "a b.txt").write_text("space doc\n")
+    (tmp_path / "c.txt").write_text("c doc\n")
+    (tmp_path / "d.txt").write_text("d doc\n")
+    got = {r.doc_id for r in
+           read_text_dir(spark, str(tmp_path), skip=0, num=2).collect()}
+    assert got == {"a b", "c"}
+    assert read_text_dir(spark, str(tmp_path), skip=2).first().doc_id == "d"
+
+
 def test_read_transcripts_schema_check(spark, tmp_path):
     import pytest
 

@@ -39,6 +39,13 @@ def test_strip_markup_edge_cases():
     assert strip_markup("&amp;lt;")[0] == "&lt;"
     # unterminated tag is left verbatim (no closing '>')
     assert strip_markup("before <unclosed")[0] == "before <unclosed"
+    # bare comparisons in prose/code are NOT tags (tag branch is tag-shaped)
+    assert strip_markup("if a < b and c > d") == (
+        "if a < b and c > d", [(0, 0, 1)]
+    )
+    assert strip_markup("x < 3, y<4, <em>z</em>")[0] == "x < 3, y<4, z"
+    # comments / processing instructions are still stripped
+    assert strip_markup("a<!-- note -->b<?pi ?>c")[0] == "abc"
 
 
 def test_strip_markup_all_positions_map():
