@@ -1002,8 +1002,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "modality", "n_bytes", feat_hex.alias("feat_hex")
         )
 
+    def q_stream_triples(spark, sf_dir):
+        # streaming/batch parity contract (the resume-equivalence the
+        # reference's run catalog guarantees): an AvailableNow
+        # stream_triples run over the same transcripts must hash against
+        # the batch kg_triples oracle for the stateless triple families
+        # (denotes + partOf + role + conv rdf:type; windowed co-occurrence
+        # is stateful and lives in stream_conv_pairs).
+        import tempfile
+
+        from kgpipe.streaming import stream_triples
+        from kgpipe.triples import RDF_TYPE
+
+        base = tempfile.mkdtemp(prefix="kgpipe_stream_triples_")
+        in_dir, out_dir, ckpt = (f"{base}/in", f"{base}/out", f"{base}/ckpt")
+        _transcripts(spark, sf_dir).write.mode("overwrite").parquet(in_dir)
+        stream_triples(spark, in_dir, _tech_dictionary(spark), out_dir,
+                       ckpt, configs={"TECH": TECH_CFG})
+        got = spark.read.parquet(out_dir).select(
+            "subj", "pred", "obj", "conv_id", "turn_idx"
+        )
+        # conv rdf:type recurs per turn/batch on the stateless stream (the
+        # documented at-least-once slice readers dedupe); dedupe it here
+        # the way a consumer would
+        return got.filter(F.col("pred") == RDF_TYPE).dropDuplicates().unionByName(
+            got.filter(F.col("pred") != RDF_TYPE)
+        )
+
     return {
         "mention_detect": q_mention_detect,
+        # registered early on purpose: these two were absent from the
+        # round-2 driver artifact (sweep stopped at 50 entries), so they
+        # must not sit at the tail of the dict
+        "markup_strip": q_markup_strip,
+        "media_features": q_media_features,
+        "stream_triples": q_stream_triples,
         "mention_count_per_turn": q_mention_count_per_turn,
         "cooccurrence": q_cooccurrence,
         "cooc_stats": q_cooc_stats,
@@ -1053,8 +1086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_disambig": q_embedding_disambig,
         "frame_sample": q_frame_sample,
         "conv_metadata": q_conv_metadata,
-        "markup_strip": q_markup_strip,
-        "media_features": q_media_features,
     }
 
 
@@ -1590,6 +1621,40 @@ t_cooc AS (
 SELECT * FROM t_conv UNION ALL SELECT * FROM t_part
 UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_denote
 UNION ALL SELECT * FROM t_cooc""",
+        # stream_triples = the stateless families of kg_triples (no t_cooc:
+        # windowed co-occurrence is the stateful stream_conv_pairs path)
+        "stream_triples": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+conv AS (SELECT DISTINCT conv_id FROM transcripts),
+t_conv AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'http://purl.obolibrary.org/obo/IAO_0000310' AS obj,
+         conv_id, NULL::int AS turn_idx
+  FROM conv),
+t_part AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/dc/terms/isPartOf' AS pred,
+         'https://kg.example.org/conv/' || conv_id AS obj,
+         conv_id, turn_idx
+  FROM transcripts),
+t_role AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/kgpipe/hasRole' AS pred,
+         role AS obj, conv_id, turn_idx
+  FROM transcripts WHERE role IS NOT NULL),
+t_denote AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/kgpipe/denotes' AS pred,
+         'http://purl.obolibrary.org/obo/'
+           || replace(concept_id, ':', '_') AS obj,
+         conv_id, turn_idx
+  FROM mentions)
+SELECT * FROM t_conv UNION ALL SELECT * FROM t_part
+UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_denote""",
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _IVF_TOPK_SQL,
         "embedding_disambig": f"""

@@ -87,6 +87,35 @@ def mayla_filter(
     return m.filter(keep).select(*mentions.columns)
 
 
+def mayla_keep_py(
+    surface: Optional[str],
+    turn_text: Optional[str],
+    ontology: Optional[str],
+    canonical: Optional[str],
+    concept_freq: Optional[int | dict],
+    default_freq: int = 1,
+) -> bool:
+    """Pure-Python twin of ``mayla_filter``'s keep predicate (identical
+    rules, ``MaylaPostProcessingComponent.java:97-125``) for
+    per-conversation scans (``kgpipe.fused``) where mentions never leave
+    the Python worker.  Mayla is document-local — surface casing, surface
+    frequency within the mention's own turn text, canonical-label equality
+    — so it needs no corpus shuffle.  Gold-set passthrough is staged-only
+    (detected mentions carry no annotator id)."""
+    surface = surface or ""
+    if concept_freq is None:
+        is_all_upper = surface == surface.upper() and surface.lower() != surface
+        starts_upper = bool(surface) and "A" <= surface[0] <= "Z"
+        return is_all_upper or starts_upper
+    if isinstance(concept_freq, dict):
+        thr = concept_freq.get(ontology, default_freq)
+    else:
+        thr = concept_freq
+    # non-overlapping count ≡ _substring_count's length arithmetic
+    freq = (turn_text or "").count(surface) if surface else 0
+    return freq >= thr or surface == canonical
+
+
 # per-namespace frequency thresholds (MaylaPostProcessingComponent.java:151-181)
 MAYLA_CONCEPT_FREQ: dict[str, int] = {
     "CHEBI": 4, "PR": 40, "FUNK_GO_MF": 1, "FUNK_GO_BP": 20, "FUNK_GO_CC": 15,

@@ -6,7 +6,8 @@ triple fan-out) pays several shuffles; every one of them except the first
 groups by conv-derived keys.  This operator exploits that: co-locate each
 conversation once (repartition by conv_id + sort within partitions), then
 run the whole per-conversation computation — trie detection per turn,
-duplicate removal, span disambiguation by conversation-level term
+duplicate removal, the Mayla precision filter (document-local, so it
+belongs here), span disambiguation by conversation-level term
 frequency, canonical-id mapping (broadcast union-find map), co-occurrence
 pairing — inside a single Arrow-batched ``mapInPandas`` pass (ONE Python
 call per Arrow batch; conversations are contiguous in the sorted partition
@@ -39,6 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .canon import components_from_rows
 from .detect import build_tries, collect_dictionary
+from .disambig import mayla_keep_py
 from .trie import pretokenize
 from .normalize import MatchConfig
 from .triples import (
@@ -76,6 +78,9 @@ def fused_conv_triples(
     max_turns_per_group: Optional[int] = None,
     quarantine_errors: bool = False,
     cache_registry: Optional[list] = None,
+    mayla: bool = False,
+    mayla_concept_freq: Optional[int | dict] = None,
+    mayla_default_freq: int = 1,
 ) -> DataFrame:
     """transcripts → full triple set with one shuffle (see module doc).
 
@@ -100,13 +105,26 @@ def fused_conv_triples(
     rows = collect_dictionary(dictionary)
     tries = build_tries(rows, configs)
     comp_map = components_from_rows(rows) if canonical else {}
-    bc = spark.sparkContext.broadcast((tries, comp_map))
+    # Mayla precision filter runs INSIDE the per-conversation scan: its
+    # inputs (surface casing, in-turn surface frequency, canonical-label
+    # equality — MaylaPostProcessingComponent.java:97-125) are all
+    # turn-local, so the production one-shuffle plan expresses it without
+    # any extra exchange.  The canonical-label map is ontology-sized and
+    # rides the existing broadcast.
+    mayla_cfg = None
+    if mayla:
+        canon_label: dict = {}
+        for r in rows:
+            canon_label.setdefault(r["concept_id"], r.get("canonical"))
+        mayla_cfg = (mayla_concept_freq, mayla_default_freq, canon_label)
+    bc = spark.sparkContext.broadcast((tries, comp_map, mayla_cfg))
     if max_turns_per_group is not None and max_turns_per_group < cooc_window:
         raise ValueError("max_turns_per_group must be >= cooc_window")
 
     block_size = max_turns_per_group
 
-    def _process_conv(conv_id, block, turns, emit, tries_l, comp) -> None:
+    def _process_conv(conv_id, block, turns, emit, tries_l, comp,
+                      mcfg) -> None:
         """One conversation (or block): *turns* is ``[(ti, text, ghost)]``
         already in turn order (the partition is sorted); *emit* appends into
         the CALLING BATCH's shared output columns — no per-conversation
@@ -130,10 +148,18 @@ def fused_conv_triples(
                 continue
             pretok = pretokenize(text) if len(tries_l) > 1 else None
             for trie in tries_l.values():
-                for _, cid, b, e, cov in trie.scan_text(text, pretok):
+                for ont, cid, b, e, cov in trie.scan_text(text, pretok):
                     key = (ti, cid, b, e)
                     if key not in seen:
                         seen.add(key)
+                        # Mayla after turn-local dedup, before TF
+                        # disambiguation — the staged chain's order
+                        # (pipeline.build_mentions)
+                        if mcfg is not None and not mayla_keep_py(
+                            cov, text, ont, mcfg[2].get(cid),
+                            mcfg[0], mcfg[1],
+                        ):
+                            continue
                         mentions.append((ti, cid, b, e, cov, ghost))
 
         # conversation-local TF disambiguation: for span-ambiguous mentions
@@ -201,7 +227,7 @@ def fused_conv_triples(
         zero pandas machinery, and the only carry between batches is the
         (possibly incomplete) LAST group — bounded by one conversation
         (one block in split mode)."""
-        tries_l, comp = bc.value
+        tries_l, comp, mcfg = bc.value
         pending_key = None
         pending_turns: list = []
 
@@ -222,7 +248,7 @@ def fused_conv_triples(
             conv_id, block = key
             try:
                 _process_conv(conv_id, int(block), turns, emit,
-                              tries_l, comp)
+                              tries_l, comp, mcfg)
             except Exception as exc:
                 if not quarantine_errors:
                     raise

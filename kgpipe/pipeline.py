@@ -112,9 +112,11 @@ def run_pipeline(
 
     if cfg.fused:
         # staged-only options must not silently no-op under --fused
-        if cfg.mayla or cfg.salt_partitions or not cfg.assume_unique_turns:
+        # (Mayla IS fused-capable: it is document-local and runs inside
+        # the per-conversation scan — kgpipe.fused)
+        if cfg.salt_partitions or not cfg.assume_unique_turns:
             raise ValueError(
-                "fused mode does not support mayla/salt_partitions/"
+                "fused mode does not support salt_partitions/"
                 "assume_unique_turns=False; use the staged path for those"
             )
         from pyspark.sql import functions as F
@@ -132,6 +134,8 @@ def run_pipeline(
                 max_turns_per_group=cfg.max_turns_per_group,
                 quarantine_errors=bool(lineage_path),
                 cache_registry=fused_caches,
+                mayla=cfg.mayla,
+                mayla_concept_freq=cfg.mayla_concept_freq,
             )
 
         if lineage_path:

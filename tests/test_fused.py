@@ -57,6 +57,97 @@ def test_fused_disambiguation_keeps_one_per_span(spark):
     assert out[0].obj.endswith("SYN_0000001")  # merged representative
 
 
+def test_fused_mayla_matches_staged(spark):
+    """Mayla is document-local, so the fused per-conversation scan must
+    reproduce the staged detect → mayla_filter → canonicalize → triples
+    chain exactly — in every threshold mode, and under block splitting."""
+    from kgpipe.disambig import mayla_filter
+
+    tdf = spark.createDataFrame(
+        [
+            ("m1", 0, "user", "a Neuron appears near a fibroblast", None, None),
+            ("m1", 1, "user", "the neuron and the neuron again", None, None),
+            ("m1", 2, "user", "NEURON SHOUTS at an interneurone", None, None),
+            ("m2", 0, "user", "nerve cell appears once", None, None),
+            ("m2", 1, "user", "fibroblast then Fibroblast follow", None, None),
+        ],
+        T_SCHEMA,
+    )
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO})
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "evidence"]
+
+    baseline = {tuple(r) for r in
+                fused_conv_triples(tdf, ddf, cooc_window=3,
+                                   disambiguate=False)
+                .select(*cols).collect()}
+
+    for freq in (None, 2, {"CL": 2}):
+        staged_m = mayla_filter(detect_mentions(tdf, ddf), tdf, ddf,
+                                concept_freq=freq)
+        staged = all_triples(tdf, canonicalize(staged_m, ddf),
+                             concept_col="canonical_id", cooc_window=3)
+        fused = fused_conv_triples(
+            tdf, ddf, cooc_window=3, disambiguate=False,
+            mayla=True, mayla_concept_freq=freq,
+        )
+        s_rows = {tuple(r) for r in staged.select(*cols).collect()}
+        f_rows = {tuple(r) for r in fused.select(*cols).collect()}
+        assert s_rows == f_rows, (
+            freq, sorted(s_rows - f_rows)[:3], sorted(f_rows - s_rows)[:3]
+        )
+        # the filter must actually bite on this corpus
+        assert f_rows < baseline, freq
+        # split mode (skew guard) must not change Mayla decisions: the
+        # filter only reads the mention's own turn
+        split = {tuple(r) for r in
+                 fused_conv_triples(tdf, ddf, cooc_window=3,
+                                    disambiguate=False, mayla=True,
+                                    mayla_concept_freq=freq,
+                                    max_turns_per_group=3)
+                 .select(*cols).collect()}
+        assert split == f_rows, freq
+
+
+def test_fused_mayla_truth_table(spark):
+    """No-freq mode on the fused path keeps acronym/capitalized surfaces
+    only (MaylaPostProcessingComponent.java:97-113 casing rules)."""
+    tdf = spark.createDataFrame(
+        [("d1", 0, "user",
+          "a Neuron appears, NEURON again, but a neuron and a fibroblast"
+          " stay lowercase", None, None)],
+        T_SCHEMA,
+    )
+    # CASE_IGNORE so the all-caps surface is even detected (ConceptMapper's
+    # CASE_INSENSITIVE keeps acronyms case-significant, normalize_token)
+    from dataclasses import replace
+
+    from kgpipe.normalize import CASE_IGNORE, config_for
+
+    cfgs = {"CL": replace(config_for("CL"), case_match=CASE_IGNORE)}
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO}, cfgs)
+    out = fused_conv_triples(tdf, ddf, configs=cfgs, disambiguate=False,
+                             mayla=True, mayla_concept_freq=None).filter(
+        "pred = 'http://purl.org/kgpipe/denotes'"
+    ).collect()
+    assert {(r.evidence.text) for r in out} == {"Neuron", "NEURON"}
+
+
+def test_pipeline_fused_accepts_mayla(spark, tmp_path):
+    """run_pipeline(fused=True, mayla=True) is accepted and filters."""
+    from kgpipe.pipeline import PipelineConfig, run_pipeline
+
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user", "a Neuron appears near a fibroblast", None, None)],
+        T_SCHEMA,
+    )
+    cfg = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True, mayla=True,
+                         disambiguate=False, n_buckets=2)
+    out = run_pipeline(spark, tdf, cfg, str(tmp_path / "out"))
+    denotes = [r for r in out.collect()
+               if r.pred == "http://purl.org/kgpipe/denotes"]
+    assert {r.evidence.text for r in denotes} == {"Neuron"}
+
+
 def test_fused_block_split_matches_unsplit(spark):
     """Mega-conversation skew guard: splitting conversations into turn
     blocks (ghost-replicated boundaries) must reproduce the unsplit triple
