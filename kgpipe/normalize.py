@@ -331,10 +331,66 @@ CASE_FOLD_DIGITS = "CASE_FOLD_DIGITS"
 
 STEM_NONE = "NONE"
 STEM_PORTER = "PORTER"
-# BIOLEMMATIZER requires an external model; PORTER is the fallback at parity
-# risk only for the param combos that select it (none of the per-ontology
-# optimized indices in ``EntityFinder.java:133-170`` rely on it exclusively).
+# BIOLEMMATIZER approximates the reference's BioLemmatizer
+# (ConceptMapperEvalOutputCompiler.java:92-94; the full external model is
+# unavailable here): an irregular-inflection lemma table (IRREGULAR_LEMMAS)
+# maps the surface form to its lemma BEFORE the shared Porter pass, so
+# "mice"→"mouse"→Porter matches a dictionary "mouse" that Porter alone
+# never reaches.  Regular inflections reduce through Porter as before, so
+# BIOLEMMATIZER ⊇ PORTER matches and diverges exactly on irregular forms —
+# the way the reference's grid permutations diverge.
 STEM_BIOLEMMATIZER = "BIOLEMMATIZER"
+
+# Irregular English inflections (common nouns/verbs + Latin/Greek plurals
+# frequent in biomedical text).  Inflected form → lemma; the lemma then
+# flows through the SAME Porter pass the dictionary side uses, keeping
+# text-side and dictionary-side normalization aligned.
+IRREGULAR_LEMMAS: dict[str, str] = {
+    # irregular plural nouns
+    "mice": "mouse", "men": "man", "women": "woman", "children": "child",
+    "feet": "foot", "teeth": "tooth", "geese": "goose", "lice": "louse",
+    "oxen": "ox", "people": "person",
+    # Latin/Greek plurals (biomedical staples)
+    "bacteria": "bacterium", "mitochondria": "mitochondrion",
+    "nuclei": "nucleus", "fungi": "fungus", "larvae": "larva",
+    "genera": "genus", "taxa": "taxon", "cilia": "cilium",
+    "flagella": "flagellum", "ova": "ovum", "stimuli": "stimulus",
+    "loci": "locus", "foci": "focus", "septa": "septum", "villi": "villus",
+    "glomeruli": "glomerulus", "bronchi": "bronchus", "alveoli": "alveolus",
+    "ganglia": "ganglion", "spermatozoa": "spermatozoon", "soma": "soma",
+    "somata": "soma", "vertebrae": "vertebra", "axes": "axis",
+    "analyses": "analysis", "hypotheses": "hypothesis",
+    "diagnoses": "diagnosis", "syntheses": "synthesis",
+    "matrices": "matrix", "indices": "index", "vertices": "vertex",
+    "cortices": "cortex", "appendices": "appendix",
+    "criteria": "criterion", "phenomena": "phenomenon", "data": "datum",
+    # irregular verbs (past/participle → base)
+    "ran": "run", "went": "go", "gone": "go", "ate": "eat", "eaten": "eat",
+    "saw": "see", "seen": "see", "took": "take", "taken": "take",
+    "gave": "give", "given": "give", "made": "make", "found": "find",
+    "did": "do", "done": "do", "had": "have", "has": "have",
+    "said": "say", "got": "get", "came": "come", "grew": "grow",
+    "grown": "grow", "bound": "bind", "bred": "breed", "fed": "feed",
+    "held": "hold", "kept": "keep", "led": "lead", "left": "leave",
+    "lost": "lose", "met": "meet", "sent": "send", "showed": "show",
+    "shown": "show", "spent": "spend", "taught": "teach",
+    "thought": "think", "understood": "understand", "wrote": "write",
+    "written": "write", "drew": "draw", "drawn": "draw",
+    "chose": "choose", "chosen": "choose", "arose": "arise",
+    "arisen": "arise", "became": "become", "began": "begin",
+    "begun": "begin", "broke": "break", "broken": "break",
+    "brought": "bring", "built": "build", "bought": "buy",
+    "caught": "catch", "fell": "fall", "fallen": "fall", "felt": "feel",
+    "flew": "fly", "flown": "fly", "froze": "freeze", "frozen": "freeze",
+    "hid": "hide", "hidden": "hide", "knew": "know", "known": "know",
+    "meant": "mean", "rose": "rise", "risen": "rise", "sought": "seek",
+    "sold": "sell", "spoke": "speak", "spoken": "speak",
+    "stood": "stand", "swam": "swim", "swum": "swim", "threw": "throw",
+    "thrown": "throw", "underwent": "undergo", "undergone": "undergo",
+    "withdrew": "withdraw", "withdrawn": "withdraw", "won": "win",
+    "wore": "wear", "worn": "wear", "woke": "wake", "woken": "wake",
+    "was": "be", "were": "be", "been": "be", "is": "be", "are": "be",
+}
 
 STOP_NONE = "NONE"
 STOP_PUBMED = "PUBMED"
@@ -371,6 +427,8 @@ class MatchConfig:
             if any(c.isdigit() for c in t):
                 t = t.lower()
         if self.stemmer in (STEM_PORTER, STEM_BIOLEMMATIZER) and t.islower():
+            if self.stemmer == STEM_BIOLEMMATIZER:
+                t = IRREGULAR_LEMMAS.get(t, t)
             t = porter_stem(t)
         return t
 

@@ -21,6 +21,74 @@ def test_param_grid_size_and_strings():
     assert len({param_string(c) for c in grid}) == 576  # all distinct
 
 
+def test_param_index_roundtrip_and_reference_indices():
+    """Our index space is pinned: config_from_index ↔ index_of_config
+    roundtrip over the full 576-product, and the reference's published
+    per-ontology optimized indices are carried as auditable data
+    (ConceptMapperParams.java:47-63, EntityFinder.java:133-170)."""
+    from kgpipe.grid import (
+        REFERENCE_OPTIMIZED_INDICES, REFERENCE_SWEEP_SIZE,
+        config_from_index, index_of_config,
+    )
+
+    grid = param_grid()
+    for i in (0, 1, 31, 111, 478, 535, 575):
+        assert index_of_config(config_from_index(i)) == i
+    assert [index_of_config(c) for c in grid] == list(range(576))
+    assert REFERENCE_SWEEP_SIZE == len(grid) + 1  # the 577th hand entry
+    # every reference index is inside the sweep space (the 577th entry
+    # aside) — both the F-score and the precision variants
+    for ont, (fi, pi) in REFERENCE_OPTIMIZED_INDICES.items():
+        assert 0 <= fi < REFERENCE_SWEEP_SIZE and 0 <= pi < REFERENCE_SWEEP_SIZE
+    assert REFERENCE_OPTIMIZED_INDICES["PR"] == (478, 286)
+    assert REFERENCE_OPTIMIZED_INDICES["NCBI_TAXON"] == (535, 279)
+
+
+def test_ontology_config_knob_strings_golden():
+    """Golden table: the knob string of every per-ontology optimized
+    config, in the reference's format (ConceptMapperEvalOutputCompiler
+    .java:83-100).  These are the Funk et al. 2014 winning settings our
+    pipeline stands in for the published indices — pinned so any future
+    recalibration is an explicit, reviewed change."""
+    from kgpipe.normalize import config_for
+
+    golden = {
+        "CL": "SearchStrategy:CONTIGUOUS_MATCH_CaseMatch:CASE_INSENSITIVE"
+              "_Stemmer:PORTER_Stopwords:NONE_OrderIndependentLookup:OFF"
+              "_FindAllMatches:NO_SynonymType:EXACT_ONLY",
+        "GO_CC": "SearchStrategy:CONTIGUOUS_MATCH_CaseMatch:CASE_INSENSITIVE"
+                 "_Stemmer:PORTER_Stopwords:NONE_OrderIndependentLookup:OFF"
+                 "_FindAllMatches:NO_SynonymType:EXACT_ONLY",
+        "GO_BP": "SearchStrategy:CONTIGUOUS_MATCH_CaseMatch:CASE_INSENSITIVE"
+                 "_Stemmer:PORTER_Stopwords:NONE_OrderIndependentLookup:OFF"
+                 "_FindAllMatches:NO_SynonymType:ALL",
+        "GO_MF": "SearchStrategy:CONTIGUOUS_MATCH_CaseMatch:CASE_INSENSITIVE"
+                 "_Stemmer:PORTER_Stopwords:PUBMED_OrderIndependentLookup:OFF"
+                 "_FindAllMatches:NO_SynonymType:ALL",
+        "SO": "SearchStrategy:CONTIGUOUS_MATCH_CaseMatch:CASE_INSENSITIVE"
+              "_Stemmer:PORTER_Stopwords:NONE_OrderIndependentLookup:OFF"
+              "_FindAllMatches:NO_SynonymType:EXACT_ONLY",
+        "PR": "SearchStrategy:CONTIGUOUS_MATCH_CaseMatch:CASE_SENSITIVE"
+              "_Stemmer:NONE_Stopwords:NONE_OrderIndependentLookup:ON"
+              "_FindAllMatches:NO_SynonymType:ALL",
+        "NCBI_TAXON": "SearchStrategy:CONTIGUOUS_MATCH"
+                      "_CaseMatch:CASE_SENSITIVE_Stemmer:NONE_Stopwords:NONE"
+                      "_OrderIndependentLookup:ON_FindAllMatches:NO"
+                      "_SynonymType:ALL",
+        "CHEBI": "SearchStrategy:CONTIGUOUS_MATCH_CaseMatch:CASE_INSENSITIVE"
+                 "_Stemmer:NONE_Stopwords:NONE_OrderIndependentLookup:OFF"
+                 "_FindAllMatches:NO_SynonymType:EXACT_ONLY",
+        "DOID": "SearchStrategy:CONTIGUOUS_MATCH_CaseMatch:CASE_INSENSITIVE"
+                "_Stemmer:PORTER_Stopwords:NONE_OrderIndependentLookup:OFF"
+                "_FindAllMatches:NO_SynonymType:EXACT_ONLY",
+        "HP": "SearchStrategy:CONTIGUOUS_MATCH_CaseMatch:CASE_INSENSITIVE"
+              "_Stemmer:PORTER_Stopwords:NONE_OrderIndependentLookup:OFF"
+              "_FindAllMatches:NO_SynonymType:EXACT_ONLY",
+    }
+    for ont, want in golden.items():
+        assert param_string(config_for(ont)) == want, ont
+
+
 def test_run_grid_small(spark):
     rows = [
         ("c1", 0, "user", "the neuron and another cell", None, None),

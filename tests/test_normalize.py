@@ -27,6 +27,53 @@ def test_porter_stem_basics():
     assert porter_stem("is") == "is"  # <=2 chars after step handling
 
 
+def test_biolemmatizer_matches_irregular_forms():
+    """BIOLEMMATIZER must diverge from PORTER the way the reference's grid
+    permutations do (ConceptMapperEvalOutputCompiler.java:92-94): an
+    irregular surface form ("mice") reaches a dictionary entry ("mouse")
+    that Porter suffix rules never reach."""
+    from dataclasses import replace
+
+    from kgpipe.normalize import STEM_BIOLEMMATIZER, STEM_PORTER
+    from kgpipe.obo import Term, dictionary_rows
+    from kgpipe.trie import DictionaryTrie
+
+    terms = [
+        Term(id="TAX:10090", name="mouse"),
+        Term(id="GO:0008150", name="running",
+             synonyms=[("ran", "EXACT")]),
+    ]
+    base = config_for("NCBI_TAXON")
+    text = "the mice ran across; women were seen"
+
+    def detect(stemmer):
+        cfg = replace(base, stemmer=stemmer)
+        rows = dictionary_rows(terms, "TAX", cfg)
+        trie = DictionaryTrie.from_rows(rows, cfg)
+        return {(cid, cov) for _, cid, _, _, cov in trie.scan_text(text)}
+
+    porter = detect(STEM_PORTER)
+    bio = detect(STEM_BIOLEMMATIZER)
+    # "mice" only lemmatizes to "mouse" through the irregular table
+    assert ("TAX:10090", "mice") in bio
+    assert ("TAX:10090", "mice") not in porter
+    # "ran" is an EXACT synonym in the dictionary, so BOTH stemmers match
+    # it (the dictionary side normalizes through the same config)
+    assert ("GO:0008150", "ran") in porter and ("GO:0008150", "ran") in bio
+    # BIOLEMMATIZER is a superset on this fixture
+    assert porter <= bio
+
+
+def test_biolemmatizer_grid_param_strings_unchanged():
+    """Adding the lemma table must not alter the 576-permutation grid's
+    parameter strings (the reference's knob-string format)."""
+    from kgpipe.grid import param_grid, param_string
+
+    grid = param_grid()
+    assert len(grid) == 576
+    assert sum("Stemmer:BIOLEMMATIZER" in param_string(c) for c in grid) == 192
+
+
 def test_case_insensitive_preserves_acronyms():
     cfg = MatchConfig(case_match="CASE_INSENSITIVE", stemmer="NONE")
     assert cfg.normalize_token("Cell") == "cell"
