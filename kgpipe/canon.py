@@ -163,6 +163,12 @@ def canonicalize_with_map(mentions: DataFrame, comp_map: dict[str, str]) -> Data
     )
 
 
+#: driver-side union-find refuses edge lists past this bound (an ontology
+#: synonym graph is 10^4–10^6 edges; anything bigger means a caller leaked
+#: corpus-derived edges into the driver path)
+MAX_DRIVER_EDGES = 5_000_000
+
+
 def canonicalize(
     mentions: DataFrame,
     dictionary: DataFrame,
@@ -183,8 +189,20 @@ def canonicalize(
     if extra_edges is not None:
         edges = edges.unionByName(extra_edges.select("src", "dst"))
     if driver_side:
+        # the driver-side contract is ONTOLOGY-sized edge lists; a caller
+        # feeding corpus-derived extra_edges would silently collect the
+        # corpus onto the driver.  Make the contract explicit: refuse past
+        # a bound and direct to the distributed path.
+        edge_rows = edges.limit(MAX_DRIVER_EDGES + 1).collect()
+        if len(edge_rows) > MAX_DRIVER_EDGES:
+            raise ValueError(
+                f"canonicalize(driver_side=True) saw more than "
+                f"{MAX_DRIVER_EDGES:,} synonym edges — this is no longer "
+                "ontology-sized; pass driver_side=False to run the "
+                "distributed connected_components instead"
+            )
         comp_map = _dsu_components(
-            [(r["src"], r["dst"]) for r in edges.collect()]
+            [(r["src"], r["dst"]) for r in edge_rows]
         )
         spark = mentions.sparkSession
         if comp_map:

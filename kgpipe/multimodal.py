@@ -1,18 +1,26 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow batches.
 
-The decode step is STUBBED (no image/audio libraries in this container) —
-``decode_fn`` below raises ``NotImplementedError`` unless a deterministic
-fake is requested — but the Spark-side plumbing is real and tested: schema,
-partitioning, ``mapInPandas`` UDF signature, and batch shapes are exactly
-what a Pillow/torchaudio-backed decoder would plug into.
+The IMAGE decode step is REAL and dependency-free: a pure-numpy parser for
+the netpbm family (P2/P3 ASCII, P5/P6 binary) and uncompressed 24/32-bit
+BMP decodes pixels to a luminance plane, and the feature vector is a 4×4
+grid of mean luminances (16 floats in [0, 1]).  Audio/video decoding
+remains STUBBED (no soundfile/pyav in this container) — ``decode_fn``
+raises ``NotImplementedError`` for those modalities unless the
+deterministic fake is requested — but the Spark-side plumbing (schema,
+partitioning, ``mapInPandas`` UDF signature, batch shape, per-row error
+quarantine) is identical for every modality, so a torchaudio/pyav-backed
+decoder plugs into the same seam the image decoder occupies.
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -36,24 +44,138 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 16
+_GRID = 4  # FEATURE_DIM == _GRID * _GRID
+
+# Rec. 601 luma weights
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+_PNM_TOKEN = re.compile(rb"(?:\s|#[^\n]*\n)*(\S+)")
+
+
+def _pnm_tokens(buf: bytes, n: int, pos: int) -> tuple[list[bytes], int]:
+    """Read *n* whitespace/comment-separated header tokens from *pos*."""
+    out = []
+    for _ in range(n):
+        m = _PNM_TOKEN.match(buf, pos)
+        if not m:
+            raise ValueError("truncated netpbm header")
+        out.append(m.group(1))
+        pos = m.end()
+    return out, pos
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a netpbm (P2/P3/P5/P6) or uncompressed 24/32-bit BMP payload
+    to a float32 luminance plane in [0, 1].  Pure numpy — no image libs.
+    Raises ``ValueError`` on anything else (corrupt or unsupported)."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    magic = payload[:2]
+    if magic in (b"P2", b"P3", b"P5", b"P6"):
+        return _decode_pnm(payload, magic)
+    if magic == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError(f"unsupported image format (magic {magic!r})")
+
+
+def _decode_pnm(buf: bytes, magic: bytes) -> np.ndarray:
+    gray = magic in (b"P2", b"P5")
+    ascii_fmt = magic in (b"P2", b"P3")
+    (w_b, h_b, mx_b), pos = _pnm_tokens(buf, 3, 2)
+    w, h, maxval = int(w_b), int(h_b), int(mx_b)
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 65535:
+        raise ValueError("bad netpbm dimensions")
+    n_samples = w * h * (1 if gray else 3)
+    if ascii_fmt:
+        toks = buf[pos:].split()
+        if len(toks) < n_samples:
+            raise ValueError("truncated netpbm pixel data")
+        vals = np.array(toks[:n_samples], dtype=np.int64)
+    else:
+        pos += 1  # exactly one whitespace byte after maxval (spec)
+        dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+        need = n_samples * dtype.itemsize
+        raw = buf[pos:pos + need]
+        if len(raw) < need:
+            raise ValueError("truncated netpbm pixel data")
+        vals = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+    if vals.size != n_samples:
+        raise ValueError("truncated netpbm pixel data")
+    arr = vals.reshape((h, w) if gray else (h, w, 3)).astype(np.float32)
+    arr /= float(maxval)
+    if gray:
+        return arr
+    return arr @ _LUMA.astype(np.float32)
+
+
+def _decode_bmp(buf: bytes) -> np.ndarray:
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    bottom_up = h > 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) // 4 * 4
+    need = data_off + stride * h
+    if len(buf) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp).astype(np.float32)
+    if bottom_up:
+        px = px[::-1]
+    # BMP stores BGR(A)
+    lum = px[:, :, 2] * _LUMA[0] + px[:, :, 1] * _LUMA[1] + px[:, :, 0] * _LUMA[2]
+    return (lum / 255.0).astype(np.float32)
+
+
+def grid_features(lum: np.ndarray, grid: int = _GRID) -> list[float]:
+    """``grid × grid`` mean-luminance pooling → fixed-dim feature vector
+    (row-major).  Cells cover the image via integer edge splits, so any
+    image ≥ 1×1 produces exactly ``grid*grid`` floats."""
+    h, w = lum.shape
+    ys = np.linspace(0, h, grid + 1, dtype=np.int64)
+    xs = np.linspace(0, w, grid + 1, dtype=np.int64)
+    out: list[float] = []
+    for i in range(grid):
+        for j in range(grid):
+            cell = lum[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+            # images smaller than the grid repeat whole-image pooling in
+            # the degenerate cells (still exactly grid*grid outputs)
+            if cell.size == 0:
+                cell = lum
+            out.append(float(cell.mean()))
+    return out
 
 
 def _fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder: 16 floats derived from the
     sha256 of the payload.  Replaces (not approximates) pixel decoding —
-    clearly marked fake."""
+    clearly marked fake (kept as the DuckDB-reconstructible oracle path)."""
     h = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
 def decode_fn(payload: bytes, modality: str, fake: bool = False) -> list[float]:
-    """The pluggable decode step. Real decoders (PIL.Image.open /
-    soundfile.read / pyav frame sampling) are NOT available in this
-    container — STUB."""
+    """The pluggable decode step.  Images decode for real (netpbm/BMP via
+    ``decode_image`` + ``grid_features``); audio/video decoders
+    (soundfile/pyav) are NOT available in this container — STUB."""
     if fake:
         return _fake_decode_features(payload)
+    if modality == "image":
+        return grid_features(decode_image(payload))
     raise NotImplementedError(
-        f"real {modality} decoding requires image/audio libs not present in "
+        f"real {modality} decoding requires audio/video libs not present in "
         "this environment; pass fake=True for the deterministic stand-in"
     )
 
@@ -63,9 +185,12 @@ def extract_features(media: DataFrame, fake: bool = True,
     """media(binary payload) → fixed-dim feature vectors via mapInPandas.
 
     Real plumbing: Arrow batches in, one pandas call per batch, per-row
-    error quarantine, bounded batch size for large payloads (set
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` down when payloads are
-    MB-scale — the same pattern the trie detector uses for text)."""
+    error quarantine (corrupt payloads and stubbed modalities become
+    ``error`` rows, not failed tasks — the reference's per-document error
+    logging, ``RunCatalogAE.java:107-112``), bounded batch size for large
+    payloads (set ``spark.sql.execution.arrow.maxRecordsPerBatch`` down
+    when payloads are MB-scale — the same pattern the trie detector uses
+    for text)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,7 +205,7 @@ def extract_features(media: DataFrame, fake: bool = True,
                 try:
                     out["feature"].append(decode_fn(payload, mod, fake=fake))
                     out["error"].append(None)
-                except NotImplementedError as exc:
+                except (NotImplementedError, ValueError) as exc:
                     out["feature"].append(None)
                     out["error"].append(str(exc))
             yield pd.DataFrame(out)

@@ -170,8 +170,9 @@ def ivf_topk(
     no driver-side action touches the corpus.  When omitted, a fallback
     samples ``n_centroids`` corpus vectors by id-order stride (one count +
     one tiny collect — fine for notebooks, not the 100 TB hot path).
-    Every vector is assigned to its nearest centroid (broadcast centroid
-    literals, JVM column math); each query probes its ``n_probe`` nearest
+    Every vector is assigned to its nearest centroid (centroids broadcast
+    as one array-typed row — constant expression size at any cell count;
+    JVM column math); each query probes its ``n_probe`` nearest
     centroids and re-ranks candidates exactly.  The candidate join is an
     equi-join on cell id, so the corpus side prunes to probed cells instead
     of scanning — recall grows with ``n_probe`` (``n_probe == n_centroids``
@@ -194,36 +195,40 @@ def ivf_topk(
             cent_rows = v.sort("vec_id").limit(n_centroids).collect()
         centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
 
-    def nearest_exprs(vec):
-        """(best_centroid_id, [(cid, cosine)]) as column exprs.  The argmax
-        is array_max over (sim, cid) structs — linear expression size (a
-        chained when/otherwise argmax duplicates the subtree per level:
-        2^n_centroids nodes, which stalls Catalyst at n_centroids ≥ 16)."""
-        sims = [
-            (cid, cosine_col(vec, F.array(*[F.lit(float(x)) for x in cvec])))
-            for cid, cvec in centroids
-        ]
-        pairs = F.array(*[
-            F.struct(s.alias("s"), F.lit(cid).alias("c")) for cid, s in sims
-        ])
-        return F.array_max(pairs)["c"], sims
+    # Centroids ride as DATA on one broadcast row (array<struct<c,v>>), not
+    # as per-centroid literal expressions: the expression tree stays
+    # constant-size, so n_centroids can grow to 10^4 without hitting
+    # Catalyst expression limits, and the assignment is still a narrow
+    # broadcast join + column math (no shuffle).  The argmax is array_max
+    # over (sim, cid) structs — a chained when/otherwise argmax would
+    # duplicate its subtree per level (2^n nodes, stalls at n ≥ 16).
+    spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(
+        [([(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],)],
+        "cents array<struct<c:int,v:array<double>>>",
+    )
 
-    v_best, _ = nearest_exprs(F.col("v"))
-    assigned = v.select("vec_id", "v", v_best.alias("cell"))
+    def sims_over(vec):
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                cosine_col(vec, c["v"]).alias("s"), c["c"].alias("c")
+            ),
+        )
+
+    assigned = v.join(F.broadcast(cent_df)).select(
+        "vec_id", "v", F.array_max(sims_over(F.col("v")))["c"].alias("cell")
+    )
 
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"))
-    _, q_sims = nearest_exprs(F.col("q"))
-    probe_arr = F.array(*[
-        F.struct(s.alias("s"), F.lit(cid).alias("c")) for cid, s in q_sims
-    ])
     probes = F.slice(F.array_sort(
-        probe_arr, lambda a, b: F.when(a["s"] > b["s"], -1)
+        sims_over(F.col("q")), lambda a, b: F.when(a["s"] > b["s"], -1)
         .when(a["s"] < b["s"], 1)
         # deterministic tie-break on cell id (ascending) — array_sort with a
         # comparator is not guaranteed stable
         .when(a["c"] < b["c"], -1).when(a["c"] > b["c"], 1).otherwise(0)
     ), 1, n_probe)
-    q_cells = q.select(
+    q_cells = q.join(F.broadcast(cent_df)).select(
         "q_id", "q", F.explode(F.transform(probes, lambda p: p["c"])).alias("cell")
     )
 

@@ -106,6 +106,7 @@ def stream_conv_pairs(
     cooc_window: int = 3,
     configs: Optional[dict] = None,
     state_timeout_ms: Optional[int] = None,
+    max_state_concepts: int = 10_000,
 ) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): incremental
     windowed co-occurrence over a live transcript stream.
@@ -117,8 +118,17 @@ def stream_conv_pairs(
     the new pair rows, and rolls the buffer forward.  Pairs that straddle a
     micro-batch boundary are found exactly once — the property the
     stateless streaming path cannot provide.  Per-conversation state is
-    tiny by construction — only the last ``cooc_window`` turns' concept
-    sets, never the transcript.  With ``state_timeout_ms`` set, idle
+    BOUNDED by construction: only the last ``cooc_window`` turns' concept
+    sets, never the transcript; entries merge per turn index (replays
+    cannot stack duplicates), and each stored set is capped at
+    ``max_state_concepts`` (sorted-prefix eviction, deterministic), so a
+    pathological concept-dense turn cannot grow per-key state without
+    bound — worst case ``(cooc_window + 1) × max_state_concepts`` concept
+    ids per conversation.  In-batch pairing always sees the FULL detected
+    sets; only what survives into cross-batch state is capped, so the
+    documented precision cost is pairs whose earlier turn exceeded the
+    cap and whose later turn arrives in a later micro-batch.
+    With ``state_timeout_ms`` set, idle
     conversations additionally drop their state after that much processing
     time (a conversation resuming later starts a fresh window, matching
     the batch plan's per-block ghost semantics).
@@ -207,9 +217,16 @@ def stream_conv_pairs(
                 max_ti = max(t for t, _ in buffer)
                 buffer = [(t, s) for t, s in buffer
                           if t >= max_ti - cooc_window]
+        # bound the stored state (see docstring): merge per turn index,
+        # cap each set at max_state_concepts via deterministic
+        # sorted-prefix eviction
+        merged: dict[int, set] = {}
+        for t, s in buffer:
+            merged.setdefault(t, set()).update(s)
+        items = sorted(merged.items())
         state.update((
-            [t for t, _ in buffer],
-            [",".join(sorted(s)) for _, s in buffer],
+            [t for t, _ in items],
+            [",".join(sorted(s)[:max_state_concepts]) for _, s in items],
         ))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)

@@ -42,6 +42,36 @@ def test_canonicalize_shared_synonym(spark):
     assert ("CL:0000540", "CL:0000540") in out  # unmerged id maps to itself
 
 
+def test_canonicalize_driver_edge_bound(spark, monkeypatch):
+    """canonicalize(driver_side=True) refuses corpus-sized edge lists (the
+    driver-side contract is ontology-sized); driver_side=False handles the
+    same edges through distributed connected_components."""
+    import pytest
+
+    from kgpipe import canon
+
+    dictionary = spark.createDataFrame(
+        [("SYN", "SYN:1", "a", "a gadget", True, "a gadget")],
+        "ontology string, concept_id string, canonical string, variant string,"
+        " is_official boolean, variant_norm string",
+    )
+    mentions = spark.createDataFrame(
+        [("c1", 0, "SYN", f"X:{i}", 0, 1, "x", None) for i in range(6)],
+        "conv_id string, turn_idx int, ontology string, concept_id string,"
+        " begin int, end int, covered_text string, error string",
+    )
+    extra = spark.createDataFrame(
+        [(f"X:{i}", f"X:{i + 1}") for i in range(5)], "src string, dst string"
+    )
+    monkeypatch.setattr(canon, "MAX_DRIVER_EDGES", 3)
+    with pytest.raises(ValueError, match="driver_side=False"):
+        canon.canonicalize(mentions, dictionary, extra_edges=extra).collect()
+    out = {(r.concept_id, r.canonical_id) for r in
+           canon.canonicalize(mentions, dictionary, extra_edges=extra,
+                              driver_side=False).collect()}
+    assert out == {(f"X:{i}", "X:0") for i in range(6)}
+
+
 def test_synonym_edges_star_topology(spark):
     d_rows = [
         ("O", f"O:{i}", "x", "shared", True, "shared") for i in range(5)

@@ -258,6 +258,51 @@ def test_stream_conv_pairs_stateful(spark, tmp_path):
     assert got.count(("c1", 0, 1, "CL:0000057", "CL:0000540")) == 1
 
 
+def test_stream_conv_pairs_state_cap(spark, tmp_path):
+    """Per-key state is bounded: with max_state_concepts=1, a concept-dense
+    turn stores only its sorted-first concept across batches (in-batch
+    pairing still sees the full set)."""
+    from kgpipe.detect import build_dictionary_df
+    from kgpipe.streaming import stream_conv_pairs, stream_transcripts
+
+    in_dir = tmp_path / "cin"
+    out_dir = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    in_dir.mkdir()
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    # batch 1: turn 0 has TWO concepts (neuron CL:0000540, fibroblast
+    # CL:0000057); batch 2: turn 1 has interneuron CL:0000099
+    spark.createDataFrame(
+        [("c1", 0, "user", "a neuron and a fibroblast", None, None)], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(
+        [("c1", 1, "user", "an interneuron waits", None, None)], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b2"))
+    d = build_dictionary_df(spark, {"CL": MINI_OBO})
+
+    stream = spark.readStream.schema(
+        stream_transcripts(spark, str(in_dir / "*")).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(in_dir / "*"))
+    pairs = stream_conv_pairs(stream, d, cooc_window=3, max_state_concepts=1)
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.ta, r.tb, r.ca, r.cb)
+           for r in spark.read.parquet(out_dir).collect()}
+    # in-batch same-turn pair: full set, unaffected by the cap
+    assert (0, 0, "CL:0000057", "CL:0000540") in got
+    # cross-batch: only the stored (sorted-first) concept survives
+    assert (0, 1, "CL:0000057", "CL:0000099") in got
+    assert (0, 1, "CL:0000099", "CL:0000540") not in got
+
+
 def test_run_grid_fused_matches_serial(spark):
     """The one-job fused sweep must produce identical TP/FP/FN per
     permutation as the serial per-index loop."""

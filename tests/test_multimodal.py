@@ -22,9 +22,103 @@ def _media(spark):
     )
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_dispatch_without_fake():
+    # images decode for real now: unknown bytes are a decode ERROR
+    with pytest.raises(ValueError):
+        decode_fn(b"\x89PNG not supported", "image", fake=False)
+    # audio/video decoders genuinely absent: still the declared stub
     with pytest.raises(NotImplementedError):
-        decode_fn(b"x", "image", fake=False)
+        decode_fn(b"RIFF", "audio", fake=False)
+    with pytest.raises(NotImplementedError):
+        decode_fn(b"x", "video", fake=False)
+
+
+def _ppm_p6(arr):
+    import numpy as np
+
+    h, w, _ = arr.shape
+    return (f"P6 {w} {h} 255\n".encode()
+            + np.asarray(arr, dtype=np.uint8).tobytes())
+
+
+def _bmp24(arr):
+    """Minimal bottom-up 24-bit BMP from an (h, w, 3) RGB array."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = b""
+    for y in range(h - 1, -1, -1):
+        row = bytes(
+            int(v) for x in range(w)
+            for v in (arr[y, x, 2], arr[y, x, 1], arr[y, x, 0])  # BGR
+        )
+        rows += row + b"\x00" * (stride - len(row))
+    pixel_off = 14 + 40
+    file_size = pixel_off + len(rows)
+    return (b"BM" + struct.pack("<IHHI", file_size, 0, 0, pixel_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                          2835, 2835, 0, 0) + rows)
+
+
+def test_decode_image_real_formats():
+    import numpy as np
+
+    from kgpipe.multimodal import decode_image, grid_features
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    luma = (rgb @ np.array([0.299, 0.587, 0.114])) / 255.0
+
+    for payload in (_ppm_p6(rgb), _bmp24(rgb)):
+        lum = decode_image(payload)
+        assert lum.shape == (8, 8)
+        assert np.allclose(lum, luma, atol=1.5 / 255)
+        feats = grid_features(lum)
+        assert len(feats) == FEATURE_DIM
+        # 4x4 pooling over 8x8 = mean of each 2x2 block
+        want = luma.reshape(4, 2, 4, 2).mean(axis=(1, 3)).ravel()
+        assert np.allclose(feats, want, atol=1.5 / 255)
+
+    # grayscale P5 + ASCII P2 with comments
+    gray = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    p5 = f"P5 5 4 255\n".encode() + gray.tobytes()
+    p2 = ("P2\n# comment\n5 4\n255\n"
+          + " ".join(str(v) for v in gray.ravel())).encode()
+    assert np.allclose(decode_image(p5), gray / 255.0)
+    assert np.allclose(decode_image(p2), gray / 255.0)
+
+    with pytest.raises(ValueError):
+        decode_image(b"P6 4 4 255\nshort")  # truncated pixel data
+    with pytest.raises(ValueError):
+        decode_image(b"")
+
+
+def test_extract_features_real_image_end_to_end(spark):
+    import numpy as np
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[:, 4:, :] = 255  # left half black, right half white
+    rows = [("img1", "image", bytearray(_ppm_p6(rgb)), None),
+            ("bad", "image", bytearray(b"not an image"), None),
+            ("aud", "audio", bytearray(b"RIFF"), None)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, modality string, payload binary,"
+        " meta map<string,string>",
+    )
+    out = {r.media_id: r for r in
+           extract_features(media, fake=False).collect()}
+    f = out["img1"].feature
+    assert out["img1"].error is None and len(f) == FEATURE_DIM
+    # row-major 4x4 grid: columns 0-1 black, 2-3 white in every row
+    for i in range(0, 16, 4):
+        assert f[i] < 0.01 and f[i + 1] < 0.01
+        assert f[i + 2] > 0.99 and f[i + 3] > 0.99
+    assert out["bad"].feature is None and "unsupported" in out["bad"].error
+    assert out["aud"].feature is None and "decoding requires" in out["aud"].error
 
 
 def test_extract_features_fake_deterministic(spark):
@@ -37,10 +131,15 @@ def test_extract_features_fake_deterministic(spark):
     assert out["m3"].n_bytes == 0
 
 
-def test_extract_features_stub_quarantines(spark):
-    out = extract_features(_media(spark), fake=False).collect()
-    assert all(r.feature is None and "NotImplemented" not in (r.error or "x")
-               and "decoding requires" in r.error for r in out)
+def test_extract_features_quarantines_per_row(spark):
+    out = {r.media_id: r for r in
+           extract_features(_media(spark), fake=False).collect()}
+    assert all(r.feature is None for r in out.values())
+    # image with non-image bytes: real decode error, quarantined
+    assert "unsupported image format" in out["m1"].error
+    # audio/video: declared stubs, quarantined
+    assert "decoding requires" in out["m2"].error
+    assert "decoding requires" in out["m3"].error
 
 
 def test_frame_sample_plan(spark):

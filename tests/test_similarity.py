@@ -69,6 +69,30 @@ def test_ivf_topk_recall_and_exactness(spark):
     assert len(part & exact) >= len(exact) // 2
 
 
+def test_ivf_topk_1024_centroids_no_catalyst_blowup(spark):
+    """Centroids ride as array DATA on a broadcast row, so a 1024-cell
+    quantizer plans and runs (per-centroid literal expressions hit Catalyst
+    expression limits well below this)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kgpipe.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    rng = random.Random(11)
+    cents = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(1024)]
+    out = ivf_topk(e, q, k=3, n_probe=1024, centroids=cents).collect()
+    got = {(r.q_id, r.vec_id) for r in out}
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(e, q, k=3).collect()}
+    assert got == exact  # full probe over any quantizer == brute force
+
+
 def test_train_centroids_and_ivf(spark):
     """Offline k-means trainer feeds ivf_topk's production path: clustered
     synthetic vectors recover their clusters, and probed search finds the
