@@ -190,13 +190,15 @@ def ngram_jaccard_pairs(
     corpus-scale entry point."""
     g = df.select(F.col("doc_id"), ngram_set_col(text, n).alias("grams"))
     if n_blocks:
+        def _minhash_fn(i: int):
+            # MUST stay unary: F.transform dispatches on lambda arity and
+            # passes the element *index* as a second argument, which would
+            # clobber an `i=i` default with an unstable Column and re-draw
+            # the hash family on every plan build (nondeterministic recall).
+            return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
         keys = F.array(*[
-            F.array_min(
-                F.transform(
-                    F.col("grams"),
-                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)),
-                )
-            )
+            F.array_min(F.transform(F.col("grams"), _minhash_fn(i)))
             for i in range(n_blocks)
         ])
         g = g.select(

@@ -257,6 +257,9 @@ def test_fused_rejects_staged_only_options(spark, tmp_path):
     import pytest
 
     tdf = _gen_tdf(spark, n_convs=2, seed=1)
-    cfg = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True, mayla=True)
-    with pytest.raises(ValueError):
-        run_pipeline(spark, tdf, cfg, str(tmp_path / "x"))
+    # mayla is fused-capable since round 3 (document-local, runs in the
+    # per-conversation scan); the remaining staged-only options still raise
+    for kw in ({"salt_partitions": 8}, {"assume_unique_turns": False}):
+        cfg = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True, **kw)
+        with pytest.raises(ValueError):
+            run_pipeline(spark, tdf, cfg, str(tmp_path / "x"))
