@@ -1029,6 +1029,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             got.filter(F.col("pred") != RDF_TYPE)
         )
 
+    def q_stream_cooc(spark, sf_dir):
+        # STATEFUL streaming/batch parity: the applyInPandasWithState
+        # windowed co-occurrence operator, run as two micro-batches split
+        # by turn range (maxFilesPerTrigger=1, mtime-ordered), must hash
+        # against the batch pair semantics — distinct per-turn concept
+        # sets, |Δturn| <= 3.  Pairs that straddle the batch boundary can
+        # only come from the rolled-forward per-conversation state, so the
+        # hash match covers the cross-batch buffer, not just the in-batch
+        # pairing.
+        import tempfile
+
+        from kgpipe.streaming import stream_conv_pairs
+
+        base = tempfile.mkdtemp(prefix="kgpipe_stream_cooc_")
+        t = _transcripts(spark, sf_dir)
+        # batch 1 = turns < 12, batch 2 = turns >= 12 (per-conversation
+        # in-order delivery — the operator's exactly-once boundary
+        # guarantee is for ordered arrival; see stream_conv_pairs)
+        t.filter(F.col("turn_idx") < 12).coalesce(1).write.parquet(
+            f"{base}/in/b1")
+        t.filter(F.col("turn_idx") >= 12).coalesce(1).write.parquet(
+            f"{base}/in/b2")
+        stream = (
+            spark.readStream.schema(t.schema)
+            .option("maxFilesPerTrigger", 1).parquet(f"{base}/in/*")
+        )
+        pairs = stream_conv_pairs(stream, _tech_dictionary(spark),
+                                  cooc_window=3, configs={"TECH": TECH_CFG})
+        (
+            pairs.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True).outputMode("append").start()
+            .awaitTermination()
+        )
+        return spark.read.parquet(f"{base}/out").select(
+            "conv_id", "ta", "tb", "ca", "cb")
+
     return {
         "mention_detect": q_mention_detect,
         # registered early on purpose: these two were absent from the
@@ -1037,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_strip": q_markup_strip,
         "media_features": q_media_features,
         "stream_triples": q_stream_triples,
+        "stream_cooc": q_stream_cooc,
         "mention_count_per_turn": q_mention_count_per_turn,
         "cooccurrence": q_cooccurrence,
         "cooc_stats": q_cooc_stats,
@@ -1655,6 +1694,23 @@ t_denote AS (
   FROM mentions)
 SELECT * FROM t_conv UNION ALL SELECT * FROM t_part
 UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_denote""",
+        # stream_cooc = the stateful operator's pair semantics in SQL:
+        # distinct per-turn concept sets; cross-turn pairs once per
+        # (concept-in-earlier-turn, concept-in-later-turn) combination
+        # normalized to (least, greatest) — so a symmetric pair (both
+        # concepts in both turns) legitimately appears twice, exactly as
+        # the stream emits it; same-turn distinct pairs once
+        "stream_cooc": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+tc AS (SELECT DISTINCT conv_id, turn_idx, concept_id FROM mentions)
+SELECT a.conv_id, a.turn_idx AS ta, b.turn_idx AS tb,
+       least(a.concept_id, b.concept_id) AS ca,
+       greatest(a.concept_id, b.concept_id) AS cb
+FROM tc a JOIN tc b
+  ON a.conv_id = b.conv_id
+ AND ((b.turn_idx > a.turn_idx AND b.turn_idx - a.turn_idx <= 3
+       AND a.concept_id <> b.concept_id)
+      OR (b.turn_idx = a.turn_idx AND a.concept_id < b.concept_id))""",
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _IVF_TOPK_SQL,
         "embedding_disambig": f"""
