@@ -419,8 +419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kgpipe.canon import connected_components
     from kgpipe.similarity import cosine_topk
     from kgpipe.textops import (
-        exact_duplicates, fingerprint, langid_scores, minhash_lsh_pairs,
-        ngram_jaccard_pairs, simhash_col, token_count, tokens_col,
+        boilerplate_ngrams, exact_duplicates, fingerprint, langid_scores,
+        minhash_lsh_pairs, ngram_jaccard_pairs, repetition_scores,
+        simhash_col, token_count, tokens_col,
     )
     from kgpipe.triples import all_triples
 
@@ -622,6 +623,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             & (2 * F.col("n_alpha") >= F.col("n_chars_m"))
         )
         return out.withColumn("keep", keep)
+
+    def q_repetition(spark, sf_dir):
+        # integer numerators only (cross-engine float hashing is the trap
+        # the quality query already dodges); the frac columns are for users
+        return repetition_scores(_docs(spark, sf_dir)).select(
+            "doc_id", "n_2gram_inst", "n_2gram_dup", "top_2gram_count",
+            "n_3gram_inst", "n_3gram_dup",
+        )
+
+    def q_boilerplate(spark, sf_dir):
+        return boilerplate_ngrams(_docs(spark, sf_dir), n=3, min_docs=2).select(
+            "doc_id", "n_inst", "n_boiler",
+        )
 
     def q_langid(spark, sf_dir):
         return langid_scores(_docs(spark, sf_dir))
@@ -1096,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "token_count": q_token_count,
         "quality": q_quality,
+        "repetition": q_repetition,
+        "boilerplate": q_boilerplate,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1348,6 +1364,57 @@ SELECT doc_id,
    AND 2 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) >= length(text))
    AS keep
 FROM t""",
+        # Gopher within-doc repetition: same list algebra as the Spark
+        # column expressions (per-distinct-gram occurrence counts)
+        "repetition": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+         i -> array_to_string(w[i:i+1], ' ')) ELSE []::varchar[] END AS g2,
+    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+         i -> array_to_string(w[i:i+2], ' ')) ELSE []::varchar[] END AS g3
+  FROM t
+),
+c AS (
+  SELECT doc_id, g2, g3,
+    list_transform(list_distinct(g2),
+                   d -> len(list_filter(g2, x -> x = d))) AS pc2,
+    list_transform(list_distinct(g3),
+                   d -> len(list_filter(g3, x -> x = d))) AS pc3
+  FROM g
+)
+SELECT doc_id,
+  len(g2)::int AS n_2gram_inst,
+  (len(g2) - len(list_filter(pc2, y -> y = 1)))::int AS n_2gram_dup,
+  coalesce(list_max(pc2), 0)::int AS top_2gram_count,
+  len(g3)::int AS n_3gram_inst,
+  (len(g3) - len(list_filter(pc3, y -> y = 1)))::int AS n_3gram_dup
+FROM c""",
+        # C4/CCNet cross-corpus boilerplate: doc-frequency of 3-gram
+        # shingles, per-doc repeated-material instance counts
+        "boilerplate": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+         i -> array_to_string(w[i:i+2], ' ')) ELSE []::varchar[] END AS g3
+  FROM t
+),
+inst AS (SELECT doc_id, unnest(g3) AS gram FROM g),
+gcount AS (SELECT doc_id, gram, count(*) AS k FROM inst GROUP BY doc_id, gram),
+docfreq AS (SELECT gram, count(*) AS n_docs FROM gcount GROUP BY gram)
+SELECT gc.doc_id,
+       sum(gc.k)::bigint AS n_inst,
+       sum(CASE WHEN d.n_docs >= 2 THEN gc.k ELSE 0 END)::bigint AS n_boiler
+FROM gcount gc JOIN docfreq d ON gc.gram = d.gram
+GROUP BY gc.doc_id""",
         "langid": f"""
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w

@@ -459,6 +459,124 @@ def quality_scores(df: DataFrame, text: str = "text") -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+def ngram_instances_col(text: str = "text", n: int = 2) -> Column:
+    """Word n-gram instances WITH multiplicity (space-joined), in document
+    order — the multiset ``ngram_set_col`` is the distinct view of."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(df: DataFrame, text: str = "text",
+                      ns: tuple = (2, 3)) -> DataFrame:
+    """Gopher-style WITHIN-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 repetition filters): for each n in
+    ``ns``, the fraction of the document's n-gram instances whose n-gram
+    occurs more than once in the document (``dup_{n}gram_frac``), and for
+    the smallest n the fraction covered by the single most frequent n-gram
+    (``top_{n}gram_frac``).  High values flag looping/boilerplate text that
+    poisons LM training.
+
+    Pure per-row column math over the token array — narrow, JVM-side, no
+    shuffle at any corpus size.  The shingle arrays and per-gram counts are
+    staged through separate projections: referencing an aliased non-cheap
+    array more than once keeps CollapseProject from inlining it, so each
+    array materializes ONCE per row instead of re-evaluating the whole
+    shingle construction inside every per-distinct-gram lambda step
+    (measured 500× slowdown when inlined).  Identical list algebra runs in
+    DuckDB for the oracle."""
+    staged = df.select(
+        "doc_id",
+        *[ngram_instances_col(text, n).alias(f"_i{n}") for n in ns],
+    )
+    def _count_fn(col_name: str):
+        # unary on purpose — a binary lambda would receive the element
+        # INDEX as its second argument (F.transform dispatches on arity)
+        return lambda g: F.size(
+            F.filter(F.col(col_name), lambda x: x == g))
+
+    counted = staged.select(
+        "doc_id",
+        *[F.col(f"_i{n}") for n in ns],
+        # per-distinct-gram occurrence counts over the materialized array
+        *[
+            F.transform(
+                F.array_distinct(F.col(f"_i{n}")), _count_fn(f"_i{n}")
+            ).alias(f"_pc{n}")
+            for n in ns
+        ],
+    )
+    cols = [F.col("doc_id")]
+    for n in ns:
+        total = F.size(F.col(f"_i{n}"))
+        per_gram = F.col(f"_pc{n}")
+        # an instance is "duplicate" iff its gram has count >= 2: the
+        # number of such instances = total - #grams-with-count-1
+        n_singles = F.size(F.filter(per_gram, lambda c: c == 1))
+        dup_frac = F.when(
+            total > 0,
+            (total - n_singles) / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+        # integer numerators alongside the ratio: cross-engine hash checks
+        # compare exact ints, not float representations
+        cols.append(total.alias(f"n_{n}gram_inst"))
+        cols.append((total - n_singles).alias(f"n_{n}gram_dup"))
+        cols.append(F.round(dup_frac, 4).alias(f"dup_{n}gram_frac"))
+        if n == min(ns):
+            top_count = F.when(total > 0, F.array_max(per_gram)).otherwise(
+                F.lit(0))
+            cols.append(top_count.alias(f"top_{n}gram_count"))
+    return counted.select(*cols)
+
+
+def boilerplate_ngrams(df: DataFrame, text: str = "text", n: int = 3,
+                       min_docs: int = 2) -> DataFrame:
+    """CROSS-corpus boilerplate measurement (the C4/CCNet repeated-
+    paragraph filter generalized to token shingles, since transcript turns
+    carry no newline structure): an n-gram is *boilerplate* when it occurs
+    in >= ``min_docs`` distinct documents; each document reports how much
+    of it is made of such corpus-repeated material.
+
+    Returns ``(doc_id, n_inst, n_boiler, boiler_frac)`` where ``n_inst``
+    counts the doc's n-gram instances and ``n_boiler`` those whose gram is
+    corpus-boilerplate.
+
+    Scale shape (the part that matters at 100 TB): per-(doc, gram) counts
+    first — ONE partial-aggregated shuffle keyed on (doc_id, gram), after
+    which each gram appears once per doc, bounding the doc-frequency
+    aggregate and the join below by distinct-gram volume, not instance
+    volume.  Doc-frequency is a second map-side-combined hash-agg on gram;
+    the flag join back is a shuffle equi-join on gram (skew-safe: a gram's
+    fan-out is its doc count, and both sides are pre-aggregated); the
+    final per-doc rollup rides a fourth key-width shuffle.  Raw text never
+    shuffles — only 3n-token shingle keys and counts."""
+    gcount = (
+        df.select(
+            F.col("doc_id"),
+            F.explode(ngram_instances_col(text, n)).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    docfreq = gcount.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    joined = gcount.join(docfreq, "gram")
+    boiler_k = F.when(F.col("n_docs") >= min_docs, F.col("k")).otherwise(
+        F.lit(0))
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_inst"),
+        F.sum(boiler_k).cast("bigint").alias("n_boiler"),
+    )
+    frac = F.when(
+        F.col("n_inst") > 0,
+        F.col("n_boiler") / F.col("n_inst").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return per_doc.withColumn("boiler_frac", F.round(frac, 4))
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------

@@ -220,3 +220,51 @@ def test_near_dup_clusters_transitive(spark):
            near_dup_clusters(docs, jaccard_threshold=0.5).collect()}
     assert out[10] == 10 and out[20] == 10 and out[30] == 10
     assert out[99] == 99
+
+
+def test_repetition_scores(spark):
+    """Gopher repetition numerators against a hand-computed example."""
+    from kgpipe.textops import repetition_scores
+
+    # 2-grams of "a b a b c": [a b, b a, a b, b c] -> 4 inst, "a b" twice
+    # (2 dup instances), top count 2; 3-grams: [a b a, b a b, a b c] ->
+    # 3 inst, all distinct -> 0 dup
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y"), (3, "z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_2gram_inst, r1.n_2gram_dup, r1.top_2gram_count) == (4, 2, 2)
+    assert (r1.n_3gram_inst, r1.n_3gram_dup) == (3, 0)
+    assert abs(r1.dup_2gram_frac - 0.5) < 1e-9
+    # 2 tokens: one 2-gram, no 3-gram; 1 token: nothing
+    assert (rows[2].n_2gram_inst, rows[2].n_3gram_inst) == (1, 0)
+    assert (rows[3].n_2gram_inst, rows[3].top_2gram_count) == (0, 0)
+
+
+def test_boilerplate_ngrams(spark):
+    """Cross-corpus boilerplate: a 3-gram shared by two docs flags its
+    instances in both; doc-local repeats don't count without corpus
+    support."""
+    from kgpipe.textops import boilerplate_ngrams
+
+    shared = "the quick fox"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} jumps high"),      # grams: [t q f, q f j, f j h]
+            (2, f"see {shared} run"),          # grams: [s t q, t q f, q f r]
+            (3, "p q p q p"),                  # doc-local repeat only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            boilerplate_ngrams(docs, n=3, min_docs=2).collect()}
+    # "the quick fox" appears in docs 1 and 2 -> boilerplate; no other
+    # gram is shared
+    assert (rows[1].n_inst, rows[1].n_boiler) == (3, 1)
+    assert (rows[2].n_inst, rows[2].n_boiler) == (3, 1)
+    # doc 3: grams [p q p, q p q, p q p] -> 3 instances, "p q p" twice but
+    # only in ONE doc -> not boilerplate
+    assert (rows[3].n_inst, rows[3].n_boiler) == (3, 0)
+    assert abs(rows[1].boiler_frac - round(1 / 3, 4)) < 1e-9
