@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kgpipe.normalize import MatchConfig  # noqa: E402
 from kgpipe import schemas  # noqa: E402
+from kgpipe.corpus import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL, HOST_RE as _PII_HOST, IPV4_RE as _PII_IPV4,
+    PHONE_RE as _PII_PHONE, URL_RE as _PII_URL,
+)
 
 # ---------------------------------------------------------------------------
 # shared inputs
@@ -637,6 +641,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_inst", "n_boiler",
         )
 
+    def _docs_with_pii(spark, sf_dir):
+        # the synthetic corpus carries no PII/URLs; append deterministic
+        # doc_id-derived PII so the regex operators have real work — the
+        # oracle SQL builds the identical string with `||`
+        return _docs(spark, sf_dir).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com via 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 or 303-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.org/page and https://www.keep.io/x"),
+            ),
+        )
+
+    def q_pii_redact(spark, sf_dir):
+        from kgpipe.corpus import redact_pii
+
+        return redact_pii(_docs_with_pii(spark, sf_dir)).select(
+            "doc_id", "n_emails", "n_ips", "n_phones", "redacted",
+        )
+
+    def q_url_block(spark, sf_dir):
+        from kgpipe.corpus import url_stats
+
+        return url_stats(
+            _docs_with_pii(spark, sf_dir),
+            blocked_domains=["site1.example.org", "site3.example.org"],
+        ).select("doc_id", "n_urls", "n_blocked", "blocked")
+
+    def q_decontam(spark, sf_dir):
+        from kgpipe.corpus import decontaminate
+
+        d = _docs(spark, sf_dir)
+        corpus = d.filter(F.col("doc_id") % 23 != 0)
+        bench = d.filter(F.col("doc_id") % 23 == 0)
+        return decontaminate(corpus, bench, n=5).select(
+            "doc_id", "n_contam", "contaminated",
+        )
+
     def q_langid(spark, sf_dir):
         return langid_scores(_docs(spark, sf_dir))
 
@@ -1112,6 +1160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "repetition": q_repetition,
         "boilerplate": q_boilerplate,
+        "pii_redact": q_pii_redact,
+        "url_block": q_url_block,
+        "decontam": q_decontam,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1415,6 +1466,86 @@ SELECT gc.doc_id,
        sum(CASE WHEN d.n_docs >= 2 THEN gc.k ELSE 0 END)::bigint AS n_boiler
 FROM gcount gc JOIN docfreq d ON gc.gram = d.gram
 GROUP BY gc.doc_id""",
+        # PII redaction over doc_id-derived synthetic PII (kgpipe.corpus
+        # patterns are the Java-regex ∩ RE2 subset, so the literal
+        # patterns run unchanged here)
+        "pii_redact": f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com via 10.0.'
+         || (doc_id % 256) || '.1 or 303-555-'
+         || lpad((doc_id % 10000)::varchar, 4, '0')
+         || ' see https://site' || (doc_id % 7)
+         || '.example.org/page and https://www.keep.io/x' AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+  len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ips,
+  len(regexp_extract_all(
+     regexp_replace(text, '{_PII_IPV4}', '<IP>', 'g'),
+     '{_PII_PHONE}')) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(
+    text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+    '{_PII_IPV4}', '<IP>', 'g'),
+    '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM aug""",
+        "url_block": f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com via 10.0.'
+         || (doc_id % 256) || '.1 or 303-555-'
+         || lpad((doc_id % 10000)::varchar, 4, '0')
+         || ' see https://site' || (doc_id % 7)
+         || '.example.org/page and https://www.keep.io/x' AS text
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    list_transform(
+      regexp_extract_all(text, '{_PII_URL}'),
+      u -> regexp_replace(lower(regexp_extract(u, '{_PII_HOST}', 1)),
+                          '^www\\.', '')
+    ) AS hosts
+  FROM aug
+),
+b AS (
+  SELECT doc_id, hosts,
+    len(list_filter(hosts,
+        x -> x IN ('site1.example.org', 'site3.example.org'))) AS n_blocked
+  FROM h
+)
+SELECT doc_id, len(hosts) AS n_urls, n_blocked, n_blocked > 0 AS blocked
+FROM b""",
+        # benchmark decontamination: docs with doc_id%23=0 act as the
+        # held-out eval set; count distinct shared 5-grams per corpus doc
+        "decontam": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 5 THEN list_distinct(
+      list_transform(generate_series(1, len(w) - 4),
+                     i -> array_to_string(w[i:i+4], ' ')))
+    ELSE []::varchar[] END AS g5
+  FROM t
+),
+bench AS (
+  SELECT DISTINCT unnest(g5) AS gram FROM g WHERE doc_id % 23 = 0
+),
+corp AS (
+  SELECT doc_id, unnest(g5) AS gram FROM g WHERE doc_id % 23 <> 0
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_contam
+  FROM corp JOIN bench USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.n_contam, 0)::int AS n_contam,
+       coalesce(h.n_contam, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+LEFT JOIN hits h USING (doc_id)""",
         "langid": f"""
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w

@@ -1,0 +1,155 @@
+"""Corpus-hygiene operators for LLM training-data pipelines: PII
+redaction, URL/domain blocklist filtering, and benchmark decontamination
+(n-gram overlap against a held-out evaluation set).
+
+Like kgpipe.textops, everything here is column expressions (JVM-side,
+whole-stage codegen) except where a join is the semantics; the regex
+subset used is the intersection of Java regex (Spark) and RE2 (DuckDB)
+so the DuckDB oracle can run the identical patterns: ASCII ``\\d``/
+``\\s`` classes, ``\\b`` anchors, bounded repetition — no backreferences
+or lookaround.
+
+Reference context: the reference pipeline (UCDenver-ccp/ccp-nlp-pipelines)
+normalizes document text before dictionary lookup
+(nlp-pipelines-runner/.../DocumentTextProcessingPipeline) but has no
+corpus-hygiene stage; these operators are the training-data extensions the
+task brief asks for beyond reference parity (C4: Raffel et al. 2020 §2.2
+blocklist filtering; decontamination: GPT-3 appendix C / Brown et al. 2020
+n-gram overlap).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textops import ngram_set_col
+
+# Patterns valid (and identical in meaning) under both Java regex and RE2.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+URL_RE = r"https?://[^\s]+"
+HOST_RE = r"https?://([^/\s:]+)"
+
+
+def redact_pii(df: DataFrame, text: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone numbers to typed
+    placeholder tokens, reporting per-document counts.
+
+    Order matters: emails first (their local parts can contain digit runs
+    a later pass would see), then IPv4 (4 dotted quads) before phone
+    numbers (3-3-4 with ``-``/``.`` separators) so a dotted-quad is never
+    half-eaten by the phone rule.
+
+    Scale: three chained ``regexp_replace`` + three ``regexp_count`` per
+    row — narrow projection, zero shuffle at any corpus size, whole-stage
+    codegen.  At 100 TB the cost is the scan itself.
+    """
+    c = F.col(text)
+    return df.select(
+        "doc_id",
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(IPV4_RE)).alias("n_ips"),
+        # phone counted on the ip-redacted text so dotted-quads never
+        # double-count as phones (mirrors the replace chain below)
+        F.regexp_count(
+            F.regexp_replace(c, IPV4_RE, "<IP>"), F.lit(PHONE_RE)
+        ).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+            ),
+            PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+def url_stats(
+    df: DataFrame,
+    blocked_domains: Sequence[str] = (),
+    text: str = "text",
+) -> DataFrame:
+    """C4-style URL accounting + domain blocklist: per document, the
+    number of URLs, the number whose host (lowercased, ``www.``-stripped)
+    is on ``blocked_domains``, and a ``blocked`` flag (any hit).
+
+    The blocklist rides into the expression as a literal array —
+    appropriate for curated blocklists (10²–10⁵ domains ship fine inside
+    the task binary; a million-domain list should instead join: explode
+    hosts → broadcast-join the blocklist table).  Narrow, zero-shuffle.
+    """
+    hosts = F.transform(
+        F.regexp_extract_all(F.col(text), F.lit(URL_RE), 0),
+        lambda u: F.regexp_replace(
+            F.lower(F.regexp_extract(u, HOST_RE, 1)), r"^www\.", ""
+        ),
+    )
+    blocked_arr = F.array(*[F.lit(d.lower()) for d in blocked_domains]) \
+        if blocked_domains else F.array().cast("array<string>")
+    staged = df.select("doc_id", hosts.alias("_hosts"))
+    n_blocked = F.size(
+        F.filter(F.col("_hosts"), lambda h: F.array_contains(blocked_arr, h))
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_hosts").alias("n_urls"),
+        n_blocked.alias("n_blocked"),
+        (n_blocked > 0).alias("blocked"),
+    )
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, n: int = 5, text: str = "text"
+) -> DataFrame:
+    """Distinct n-gram keys of a held-out benchmark/eval set, as
+    ``(gram_h)`` md5 rows.  Distinct-aggregated so the consumer can
+    broadcast it (benchmark suites are MBs; their n-gram sets are small)."""
+    return (
+        benchmark.select(
+            F.explode(ngram_set_col(text, n)).alias("gram")
+        )
+        .select(F.md5("gram").alias("gram_h"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text: str = "text",
+) -> DataFrame:
+    """GPT-3-style training-set decontamination (Brown et al. 2020,
+    appendix C): flag training documents sharing any word n-gram with a
+    held-out benchmark set.  Returns every input document with the number
+    of distinct overlapping n-grams and a ``contaminated`` flag.
+
+    Scale shape: the corpus side explodes to (doc_id, md5(gram)) — the
+    fixed-width hash, never gram text, is the join key.  The benchmark
+    n-gram set (small by construction) broadcast-joins against it, so the
+    corpus side never shuffles for the join; the only exchange is the
+    key-width per-doc count aggregate, partial-aggregated map-side.  The
+    final left join back to doc_ids is broadcast-sized in the common case
+    (hits ≪ corpus) and an equi-join otherwise.
+    """
+    grams = df.select(
+        "doc_id", F.explode(ngram_set_col(text, n)).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("gram_h"))
+    bench = benchmark_ngrams(benchmark, n, text)
+    hits = (
+        grams.join(F.broadcast(bench), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return (
+        df.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contam", F.lit(0)).cast("int").alias("n_contam"),
+            (F.coalesce("n_contam", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

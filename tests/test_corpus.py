@@ -1,0 +1,129 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from kgpipe.corpus import (
+    EMAIL_RE, IPV4_RE, PHONE_RE, decontaminate, redact_pii, url_stats,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "contact me at alice.smith+test@example.co.uk or 555-867-5309 ok"),
+        (2, "server 10.0.0.1 talked to 192.168.255.254 then died"),
+        (3, "plain text no pii here at all just words"),
+        (4, "mixed bob@x.io saw 8.8.8.8 call 303.555.1234 done"),
+        (5, "see https://www.example.com/path and http://Sub.Blocked.ORG:8080/x"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_redact_pii_counts_and_text(docs):
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 0, 1)
+    assert got[1]["redacted"] == "contact me at <EMAIL> or <PHONE> ok"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 2, 0)
+    assert got[2]["redacted"] == "server <IP> talked to <IP> then died"
+    assert got[3]["redacted"] == docs.filter("doc_id=3").first()["text"]
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (1, 1, 1)
+    assert got[4]["redacted"] == "mixed <EMAIL> saw <IP> call <PHONE> done"
+
+
+def test_redact_pii_dotted_quad_not_phone(spark):
+    # a dotted quad is consumed by the IP rule; the phone count runs on
+    # the ip-redacted text so it must see zero phones here even though
+    # "168.254.1" would otherwise phone-match inside the quad
+    df = spark.createDataFrame(
+        [(1, "ip 172.168.254.1234 end")], ["doc_id", "text"]
+    )
+    r = redact_pii(df).first()
+    # NOT an IPv4 (4-digit quad) — the embedded 168.254.1234 IS a phone
+    assert r["n_ips"] == 0 and r["n_phones"] == 1
+
+    df2 = spark.createDataFrame([(2, "ip 172.168.254.123 end")], ["doc_id", "text"])
+    r2 = redact_pii(df2).first()
+    assert r2["n_ips"] == 1 and r2["n_phones"] == 0
+    assert "<IP>" in r2["redacted"] and "<PHONE>" not in r2["redacted"]
+
+
+def test_redact_pii_matches_duckdb(docs):
+    """The exact patterns must behave identically under RE2 (the oracle)."""
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = {
+        r[0]: r
+        for r in con.execute(
+            f"""
+            SELECT doc_id,
+              len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+              len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+              len(regexp_extract_all(
+                 regexp_replace(text, '{IPV4_RE}', '<IP>', 'g'),
+                 '{PHONE_RE}')) AS n_phones,
+              regexp_replace(regexp_replace(regexp_replace(
+                text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                '{IPV4_RE}', '<IP>', 'g'),
+                '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM documents
+            """
+        ).fetchall()
+    }
+    for r in redact_pii(docs).collect():
+        d = duck[r["doc_id"]]
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (d[1], d[2], d[3])
+        assert r["redacted"] == d[4]
+
+
+def test_url_stats(docs):
+    got = {
+        r["doc_id"]: r
+        for r in url_stats(docs, blocked_domains=["blocked.org"]).collect()
+    }
+    assert got[5]["n_urls"] == 2
+    # host lowercased + www-stripped: sub.blocked.org is NOT blocked.org
+    assert got[5]["n_blocked"] == 0 and not got[5]["blocked"]
+    assert got[3]["n_urls"] == 0 and not got[3]["blocked"]
+
+    got2 = {
+        r["doc_id"]: r
+        for r in url_stats(
+            docs, blocked_domains=["Sub.Blocked.org", "example.com"]
+        ).collect()
+    }
+    assert got2[5]["n_blocked"] == 2 and got2[5]["blocked"]
+
+
+def test_url_stats_empty_blocklist(docs):
+    got = {r["doc_id"]: r for r in url_stats(docs).collect()}
+    assert got[5]["n_urls"] == 2 and got[5]["n_blocked"] == 0
+
+
+def test_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a totally different sentence with no overlap"),
+            (3, "quick brown fox jumps over something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over fences")],
+        ["bench_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=5).collect()}
+    assert got[1]["contaminated"] and got[1]["n_contam"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_contam"] == 0
+    # doc 3 shares "quick brown fox jumps over" (5-gram) with the benchmark
+    assert got[3]["contaminated"]
+    assert len(got) == 3
+
+
+def test_decontaminate_short_docs(spark):
+    corpus = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "also short")], ["bench_id", "text"])
+    got = decontaminate(corpus, bench, n=5).collect()
+    assert len(got) == 1 and got[0]["n_contam"] == 0
