@@ -139,6 +139,55 @@ m2 AS (
 ),
 mentions AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)"""
 
+# full triple construction (all families incl. banded co-occurrence) as a
+# reusable prefix: kg_triples projects it raw; the graph_* analytics
+# queries aggregate over the same `tri` CTE
+_SQL_TRIPLES = f"""WITH {_SQL_MENTIONS.lstrip()},
+conv AS (SELECT DISTINCT conv_id FROM transcripts),
+t_conv AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'http://purl.obolibrary.org/obo/IAO_0000310' AS obj,
+         conv_id, NULL::int AS turn_idx
+  FROM conv),
+t_part AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/dc/terms/isPartOf' AS pred,
+         'https://kg.example.org/conv/' || conv_id AS obj,
+         conv_id, turn_idx
+  FROM transcripts),
+t_role AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/kgpipe/hasRole' AS pred,
+         role AS obj, conv_id, turn_idx
+  FROM transcripts WHERE role IS NOT NULL),
+t_denote AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/kgpipe/denotes' AS pred,
+         'http://purl.obolibrary.org/obo/'
+           || replace(concept_id, ':', '_') AS obj,
+         conv_id, turn_idx
+  FROM mentions),
+t_cooc AS (
+  SELECT DISTINCT
+         'http://purl.obolibrary.org/obo/'
+           || replace(a.concept_id, ':', '_') AS subj,
+         'http://purl.org/kgpipe/cooccursWith' AS pred,
+         'http://purl.obolibrary.org/obo/'
+           || replace(b.concept_id, ':', '_') AS obj,
+         a.conv_id, NULL::int AS turn_idx
+  FROM mentions a JOIN mentions b
+    ON a.conv_id = b.conv_id
+   AND abs(a.turn_idx - b.turn_idx) <= 3
+   AND a.concept_id < b.concept_id),
+tri AS (
+  SELECT * FROM t_conv UNION ALL SELECT * FROM t_part
+  UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_denote
+  UNION ALL SELECT * FROM t_cooc)"""
+
 _SQL_DOUBLED = """
 doubled AS (
   SELECT doc_id, text FROM documents
@@ -929,6 +978,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "subj", "pred", "obj", "conv_id", "turn_idx"
         )
 
+    def _triples(spark, sf_dir):
+        from kgpipe.detect import detect_mentions
+
+        t = _transcripts(spark, sf_dir)
+        m = detect_mentions(t, _tech_dictionary(spark), configs={"TECH": TECH_CFG})
+        return all_triples(t, m, cooc_window=3)
+
+    def q_graph_pred_stats(spark, sf_dir):
+        from kgpipe.graph import predicate_stats
+
+        return predicate_stats(_triples(spark, sf_dir))
+
+    def q_graph_degree_topk(spark, sf_dir):
+        from kgpipe.graph import degree_topk
+
+        return degree_topk(_triples(spark, sf_dir), k=20)
+
+    def q_graph_two_hop(spark, sf_dir):
+        from kgpipe.graph import two_hop_reach
+
+        return two_hop_reach(_triples(spark, sf_dir))
+
+    def q_graph_triangles(spark, sf_dir):
+        from kgpipe.graph import triangle_count
+
+        return triangle_count(_triples(spark, sf_dir))
+
+    def q_sample_strata(spark, sf_dir):
+        from kgpipe.corpus import stratified_sample
+
+        return stratified_sample(
+            _docs(spark, sf_dir),
+            "lang",
+            {"en": 0.25, "de": 0.75, "fr": 0.5},
+            default_rate=0.125,
+        ).select("doc_id", "lang")
+
     def q_lsh_topk(spark, sf_dir):
         from kgpipe.similarity import lsh_topk
 
@@ -1166,12 +1252,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
-        "eval_overlap": q_eval_overlap,
-        "eval_shared_start": q_eval_shared_start,
-        "eval_sub_span": q_eval_sub_span,
-        "eval_shared_end": q_eval_shared_end,
-        "eval_shared_start_or_end": q_eval_shared_start_or_end,
-        "eval_ignore_span": q_eval_ignore_span,
+        # flagship triple table + graph analytics, ANN, multimodal — keep
+        # these well inside the driver sweep's first 50 entries
+        "kg_triples": q_kg_triples,
+        "graph_pred_stats": q_graph_pred_stats,
+        "graph_degree_topk": q_graph_degree_topk,
+        "graph_two_hop": q_graph_two_hop,
+        "graph_triangles": q_graph_triangles,
+        "sample_strata": q_sample_strata,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "embedding_disambig": q_embedding_disambig,
+        "frame_sample": q_frame_sample,
+        "conv_metadata": q_conv_metadata,
         "per_doc_summary": q_per_doc_summary,
         "score_cutoff": q_score_cutoff,
         "status_counts": q_status_counts,
@@ -1181,17 +1274,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_mentions": q_ntriples_mentions,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
+        # tail: span-comparator variants of the already-listed eval_strict
+        # and generic TPC-H-style queries — the lowest-information rows if
+        # the driver sweep truncates (all were driver-green in round 2)
+        "eval_overlap": q_eval_overlap,
+        "eval_shared_start": q_eval_shared_start,
+        "eval_sub_span": q_eval_sub_span,
+        "eval_shared_end": q_eval_shared_end,
+        "eval_shared_start_or_end": q_eval_shared_start_or_end,
+        "eval_ignore_span": q_eval_ignore_span,
         "revenue_by_segment": q_revenue_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "topk_orders_per_segment": q_topk_orders_per_segment,
         "top10_orders": q_top10_orders,
         "events_by_type": q_events_by_type,
-        "kg_triples": q_kg_triples,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "embedding_disambig": q_embedding_disambig,
-        "frame_sample": q_frame_sample,
-        "conv_metadata": q_conv_metadata,
     }
 
 
@@ -1814,50 +1910,63 @@ SELECT event_type, count(*) AS n,
        (sum(value::DECIMAL(18,2)))::double AS total_value
 FROM events GROUP BY event_type""",
         "kg_triples": f"""
-WITH {_SQL_MENTIONS.lstrip()},
-conv AS (SELECT DISTINCT conv_id FROM transcripts),
-t_conv AS (
-  SELECT 'https://kg.example.org/conv/' || conv_id AS subj,
-         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
-         'http://purl.obolibrary.org/obo/IAO_0000310' AS obj,
-         conv_id, NULL::int AS turn_idx
-  FROM conv),
-t_part AS (
-  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
-           || turn_idx::varchar AS subj,
-         'http://purl.org/dc/terms/isPartOf' AS pred,
-         'https://kg.example.org/conv/' || conv_id AS obj,
-         conv_id, turn_idx
-  FROM transcripts),
-t_role AS (
-  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
-           || turn_idx::varchar AS subj,
-         'http://purl.org/kgpipe/hasRole' AS pred,
-         role AS obj, conv_id, turn_idx
-  FROM transcripts WHERE role IS NOT NULL),
-t_denote AS (
-  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
-           || turn_idx::varchar AS subj,
-         'http://purl.org/kgpipe/denotes' AS pred,
-         'http://purl.obolibrary.org/obo/'
-           || replace(concept_id, ':', '_') AS obj,
-         conv_id, turn_idx
-  FROM mentions),
-t_cooc AS (
-  SELECT DISTINCT
-         'http://purl.obolibrary.org/obo/'
-           || replace(a.concept_id, ':', '_') AS subj,
-         'http://purl.org/kgpipe/cooccursWith' AS pred,
-         'http://purl.obolibrary.org/obo/'
-           || replace(b.concept_id, ':', '_') AS obj,
-         a.conv_id, NULL::int AS turn_idx
-  FROM mentions a JOIN mentions b
-    ON a.conv_id = b.conv_id
-   AND abs(a.turn_idx - b.turn_idx) <= 3
-   AND a.concept_id < b.concept_id)
-SELECT * FROM t_conv UNION ALL SELECT * FROM t_part
-UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_denote
-UNION ALL SELECT * FROM t_cooc""",
+{_SQL_TRIPLES}
+SELECT subj, pred, obj, conv_id, turn_idx FROM tri""",
+        "graph_pred_stats": f"""
+{_SQL_TRIPLES}
+SELECT pred, count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subj, count(DISTINCT obj) AS n_obj
+FROM tri GROUP BY pred""",
+        "graph_degree_topk": f"""
+{_SQL_TRIPLES},
+edges AS (SELECT DISTINCT subj, obj FROM tri),
+od AS (SELECT subj AS entity, count(*) AS out_deg FROM edges GROUP BY subj),
+id_ AS (SELECT obj AS entity, count(*) AS in_deg FROM edges GROUP BY obj),
+deg AS (
+  SELECT coalesce(od.entity, id_.entity) AS entity,
+         coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg,
+         coalesce(out_deg, 0) + coalesce(in_deg, 0) AS total_deg
+  FROM od FULL OUTER JOIN id_ ON od.entity = id_.entity
+)
+SELECT entity, out_deg, in_deg, total_deg,
+       row_number() OVER (ORDER BY total_deg DESC, entity ASC)::int AS rank
+FROM deg QUALIFY rank <= 20""",
+        "graph_two_hop": f"""
+{_SQL_TRIPLES},
+edges AS (SELECT DISTINCT subj, obj FROM tri)
+SELECT e1.subj AS entity, count(DISTINCT e2.obj) AS n_two_hop
+FROM edges e1 JOIN edges e2 ON e1.obj = e2.subj
+WHERE e2.obj <> e1.subj
+GROUP BY e1.subj""",
+        # degree-oriented triangle count: undirect+distinct, orient every
+        # edge from the lower-(degree, id) endpoint, close wedges — each
+        # triangle counted exactly once (mirrors kgpipe.graph.triangle_count)
+        "graph_triangles": f"""
+{_SQL_TRIPLES},
+und AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM tri WHERE subj <> obj),
+deg AS (
+  SELECT x, count(*) AS d FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+  GROUP BY x),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+              THEN und.u ELSE und.v END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+              THEN und.v ELSE und.u END AS b
+  FROM und JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x)
+SELECT count(*) AS n_triangles
+FROM oriented e1
+JOIN oriented e2 ON e1.b = e2.a
+JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        "sample_strata": """
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(doc_id::varchar), 1, 8) <
+      CASE lang WHEN 'en' THEN '40000000'
+                WHEN 'de' THEN 'c0000000'
+                WHEN 'fr' THEN '80000000'
+                ELSE '20000000' END""",
         # stream_triples = the stateless families of kg_triples (no t_cooc:
         # windowed co-occurrence is the stateful stream_conv_pairs path)
         "stream_triples": f"""

@@ -20,7 +20,7 @@ n-gram overlap).
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -153,3 +153,49 @@ def decontaminate(
             (F.coalesce("n_contam", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def rate_threshold_hex(rate: float, digits: int = 8) -> str:
+    """Lexicographic md5-prefix threshold realizing ``rate``: a document
+    passes iff the first ``digits`` hex chars of its key hash sort below
+    the threshold.  Granularity is 16**-digits (≈2.3e-10 at 8), and the
+    comparison is a plain string ``<`` — identical in Spark and DuckDB,
+    so sampling decisions are bit-reproducible across engines."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    scaled = int(round(rate * 16 ** digits))
+    if scaled >= 16 ** digits:
+        # must sort above every hex prefix; 'g' > 'f' lexicographically
+        # (16**digits in hex is '1' + zeros, which would sort BELOW 'f...')
+        return "g"
+    return format(scaled, f"0{digits}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Column | str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash-stratified sampling: keep each document with a
+    per-stratum probability, decided by ``md5(salt || key)`` against a
+    hex threshold — no RNG, no ``DataFrame.sample``, so the selection is
+    stable under retries, resumes, and partition re-splits (the property
+    a lineage-resumable pipeline needs: a re-run of one failed partition
+    must re-select exactly the same documents).
+
+    DoReMi/importance-resampling-style domain reweighting reduces to
+    this: strata = domain/language/quality-bucket, rates = target mix.
+
+    Scale: narrow filter, zero shuffle, whole-stage codegen; the rate
+    table ships as a CASE expression (strata vocabularies are small).
+    Change ``salt`` to draw an independent sample.
+    """
+    s = F.col(strata) if isinstance(strata, str) else strata
+    thr = F.lit(rate_threshold_hex(default_rate))
+    for name, rate in sorted(rates.items()):
+        thr = F.when(s == name, F.lit(rate_threshold_hex(rate))).otherwise(thr)
+    h = F.substring(F.md5(F.concat(F.lit(salt), F.col(key))), 1, 8)
+    return df.filter(h < thr)

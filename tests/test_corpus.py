@@ -4,7 +4,8 @@ import duckdb
 import pytest
 
 from kgpipe.corpus import (
-    EMAIL_RE, IPV4_RE, PHONE_RE, decontaminate, redact_pii, url_stats,
+    EMAIL_RE, IPV4_RE, PHONE_RE, decontaminate, rate_threshold_hex,
+    redact_pii, stratified_sample, url_stats,
 )
 
 
@@ -127,3 +128,69 @@ def test_decontaminate_short_docs(spark):
     bench = spark.createDataFrame([(9, "also short")], ["bench_id", "text"])
     got = decontaminate(corpus, bench, n=5).collect()
     assert len(got) == 1 and got[0]["n_contam"] == 0
+
+
+def test_rate_threshold_hex():
+    assert rate_threshold_hex(0.0) == "00000000"
+    assert rate_threshold_hex(1.0) == "g"  # sorts above every hex prefix
+    assert rate_threshold_hex(1.0) > "ffffffff"
+    assert rate_threshold_hex(0.5) == "80000000"
+    assert rate_threshold_hex(0.25) == "40000000"
+    with pytest.raises(ValueError):
+        rate_threshold_hex(1.5)
+
+
+def test_stratified_sample(spark):
+    rows = [(f"d{i:04d}", "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample(
+        df, "lang", {"en": 0.5, "de": 0.1}, default_rate=0.0
+    ).collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    de = sum(1 for r in out if r["lang"] == "de")
+    # binomial(1000, p): ±5 sigma bands around 500 and 100
+    assert 420 <= en <= 580
+    assert 50 <= de <= 150
+    # deterministic: identical selection on re-run
+    again = stratified_sample(
+        df, "lang", {"en": 0.5, "de": 0.1}, default_rate=0.0
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in again)
+    # rate 0 / unknown stratum -> empty; rate 1.0 keeps everything
+    assert stratified_sample(df, "lang", {}, default_rate=0.0).count() == 0
+    assert stratified_sample(df, "lang", {}, default_rate=1.0).count() == 2000
+    # salt draws an independent sample
+    salted = stratified_sample(
+        df, "lang", {"en": 0.5, "de": 0.1}, default_rate=0.0, salt="s1"
+    ).collect()
+    assert sorted(r["doc_id"] for r in salted) != sorted(
+        r["doc_id"] for r in out)
+
+
+def test_stratified_sample_duckdb_parity(spark):
+    rows = [(f"d{i:04d}", "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "lang", {"en": 0.25, "de": 0.75}, default_rate=0.0
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES %s) v(doc_id, lang)"
+        % ",".join(f"('{d}','{l}')" for d, l in rows)
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            """SELECT doc_id FROM t
+               WHERE substring(md5(doc_id), 1, 8) <
+                     CASE lang WHEN 'en' THEN '40000000'
+                               WHEN 'de' THEN 'c0000000'
+                               ELSE '00000000' END
+               ORDER BY doc_id"""
+        ).fetchall()
+    ]
+    assert got == want

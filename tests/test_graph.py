@@ -1,0 +1,104 @@
+from __future__ import annotations
+
+import pytest
+
+from kgpipe.graph import (
+    degree_topk,
+    predicate_stats,
+    triangle_count,
+    two_hop_reach,
+)
+
+
+@pytest.fixture()
+def triples(spark):
+    rows = [
+        # a small star + a chain; duplicate triple on purpose (multiset
+        # input, distinct-edge semantics)
+        ("a", "p1", "b"), ("a", "p1", "b"), ("a", "p1", "c"),
+        ("a", "p2", "d"), ("b", "p1", "e"), ("c", "p2", "e"),
+        ("e", "p1", "a"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+def test_predicate_stats(triples):
+    got = {r["pred"]: r for r in predicate_stats(triples).collect()}
+    assert got["p1"]["n_triples"] == 5  # multiset count includes the dup
+    assert got["p1"]["n_subj"] == 3     # a, b, e
+    assert got["p1"]["n_obj"] == 4      # b, c, e, a
+    assert got["p2"]["n_triples"] == 2
+
+
+def test_degree_topk(triples):
+    top = degree_topk(triples, k=3).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    by_entity = {r["entity"]: r for r in top}
+    # distinct edges: a->b,a->c,a->d,b->e,c->e,e->a
+    assert by_entity["a"]["out_deg"] == 3 and by_entity["a"]["in_deg"] == 1
+    assert top[0]["entity"] == "a" and top[0]["total_deg"] == 4
+    # e: out 1, in 2 → total 3 ranks second; b/c/d tie at 2 → "b" wins
+    assert top[1]["entity"] == "e"
+    assert top[2]["entity"] == "b"
+
+
+def test_two_hop_reach(triples):
+    got = {r["entity"]: r["n_two_hop"] for r in two_hop_reach(triples).collect()}
+    # a -> b -> e, a -> c -> e  (e counted once); a -> d has no out-edge
+    assert got["a"] == 1
+    # b -> e -> a, c -> e -> a
+    assert got["b"] == 1 and got["c"] == 1
+    # e -> a -> {b,c,d}, excluding e itself (none of them is e)
+    assert got["e"] == 3
+
+
+def test_triangle_count(spark):
+    # K4 on {a,b,c,d} = 4 triangles; edges given with mixed directions and
+    # a duplicate + a self-loop + a pendant edge that must not count
+    k4 = ["ab", "ac", "ad", "bc", "bd", "cd"]
+    rows = [(e[0], "p", e[1]) for e in k4]
+    rows += [("b", "q", "a"), ("x", "p", "x"), ("d", "p", "e")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    assert triangle_count(t).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_none(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d")],
+        ["subj", "pred", "obj"],
+    )
+    assert triangle_count(t).collect()[0]["n_triangles"] == 0
+
+
+def test_triangle_count_brute_parity(spark):
+    # deterministic pseudo-random graph vs a brute-force combinations check
+    import hashlib
+    from itertools import combinations
+
+    n = 24
+    names = [f"v{i}" for i in range(n)]
+    edges = set()
+    for u, v in combinations(range(n), 2):
+        if hashlib.md5(f"{u}-{v}".encode()).digest()[0] < 64:  # ~25%
+            edges.add((names[u], names[v]))
+    adj = set(edges) | {(b, a) for a, b in edges}
+    expected = sum(
+        1
+        for a, b, c in combinations(names, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    t = spark.createDataFrame(
+        [(a, "p", b) for a, b in edges], ["subj", "pred", "obj"]
+    )
+    assert triangle_count(t).collect()[0]["n_triangles"] == expected
+
+
+def test_two_hop_hub_guard(spark):
+    rows = [("x%d" % i, "p", "hub") for i in range(5)]
+    rows += [("hub", "p", "y%d" % i) for i in range(4)]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    full = {r["entity"]: r["n_two_hop"] for r in two_hop_reach(t).collect()}
+    assert full["x0"] == 4
+    # cap below the hub's out-degree: hub is excluded as a mid, and it is
+    # the only entity with out-edges from a mid position → no 2-paths left
+    assert two_hop_reach(t, max_mid_out=3).collect() == []
