@@ -1015,6 +1015,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_rate=0.125,
         ).select("doc_id", "lang")
 
+    def q_pack_plan(spark, sf_dir):
+        from kgpipe.corpus import pack_sequences
+
+        return pack_sequences(_docs(spark, sf_dir), budget=64)
+
     def q_lsh_topk(spark, sf_dir):
         from kgpipe.similarity import lsh_topk
 
@@ -1260,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_two_hop": q_graph_two_hop,
         "graph_triangles": q_graph_triangles,
         "sample_strata": q_sample_strata,
+        "pack_plan": q_pack_plan,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_disambig": q_embedding_disambig,
@@ -1967,6 +1973,27 @@ WHERE substring(md5(doc_id::varchar), 1, 8) <
                 WHEN 'de' THEN 'c0000000'
                 WHEN 'fr' THEN '80000000'
                 ELSE '20000000' END""",
+        # concat-and-cut packing layout at budget=64, sharded by the first
+        # 2 hex chars of md5(doc_id) exactly like corpus.pack_sequences
+        "pack_plan": """
+WITH staged AS (
+  SELECT doc_id,
+         substring(md5(doc_id::varchar), 1, 2) AS shard,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))::int
+           AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM staged)
+SELECT doc_id, shard, n_tokens,
+       (c - n_tokens)::bigint AS tok_offset,
+       floor((c - n_tokens) / 64)::int AS seq_first,
+       floor(greatest(c - 1, c - n_tokens) / 64)::int AS seq_last,
+       (floor(greatest(c - 1, c - n_tokens) / 64)
+          - floor((c - n_tokens) / 64))::int AS n_splits
+FROM cum""",
         # stream_triples = the stateless families of kg_triples (no t_cooc:
         # windowed co-occurrence is the stateful stream_conv_pairs path)
         "stream_triples": f"""

@@ -199,3 +199,66 @@ def stratified_sample(
         thr = F.when(s == name, F.lit(rate_threshold_hex(rate))).otherwise(thr)
     h = F.substring(F.md5(F.concat(F.lit(salt), F.col(key))), 1, 8)
     return df.filter(h < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shard_hex: int = 2,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing plan: concatenate documents in a
+    deterministic order and cut every ``budget`` tokens, reporting for
+    each document which training sequences it lands in —
+    ``(doc_id, shard, n_tokens, tok_offset, seq_first, seq_last,
+    n_splits)``.  ``seq_first``/``seq_last`` are the first/last sequence
+    indices *within the shard* that contain any of the document's tokens
+    (boundary-straddling documents split across sequences, the standard
+    concat-and-chunk LM data layout); ``n_splits`` counts the cuts
+    through the document.
+
+    A single global concatenation order would serialize the cumsum into
+    one partition, so documents are first sharded by the leading
+    ``n_shard_hex`` hex chars of ``md5(key)`` (256 shards at 2) and
+    packed independently per shard — exactly how a multi-worker
+    tokenizer packs per input shard.  The only exchange is the window's
+    hash partitioning on ``shard``; the cumulative sum is a local sort
+    within each.  Deterministic: same input -> same layout, any cluster
+    size, any retry.
+
+    Empty documents (0 tokens) occupy no span; they are assigned the
+    sequence at their offset with ``seq_last = seq_first`` so row count
+    is preserved for auditing.
+    """
+    from pyspark.sql import Window
+
+    from .textops import tokens_col
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    shard = F.substring(F.md5(F.col(key).cast("string")), 1, n_shard_hex)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        F.col(key).alias("doc_id"),
+        shard.alias("shard"),
+        F.size(tokens_col(text)).alias("n_tokens"),
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    off = F.col("cum") - F.col("n_tokens")
+    seq_first = F.floor(off / budget).cast("int")
+    seq_last = F.floor(
+        F.greatest(F.col("cum") - 1, off) / budget
+    ).cast("int")
+    return staged.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        off.cast("long").alias("tok_offset"),
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_last - seq_first).alias("n_splits"),
+    )

@@ -194,3 +194,51 @@ def test_stratified_sample_duckdb_parity(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_pack_sequences(spark):
+    from kgpipe.corpus import pack_sequences
+
+    # force one shard so the layout is a single deterministic stream
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            [(1, 3), (2, 4), (3, 10), (4, 0), (5, 2)]]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, budget=5, n_shard_hex=0).collect()
+    }
+    # n_shard_hex=0 -> every md5 prefix is '' -> one shard, order by doc_id
+    # offsets: d1@0(3) d2@3(4) d3@7(10) d4@17(0) d5@17(2)
+    assert got[1]["tok_offset"] == 0 and (got[1]["seq_first"], got[1]["seq_last"]) == (0, 0)
+    assert got[2]["tok_offset"] == 3 and (got[2]["seq_first"], got[2]["seq_last"]) == (0, 1)
+    assert got[2]["n_splits"] == 1
+    assert got[3]["tok_offset"] == 7 and (got[3]["seq_first"], got[3]["seq_last"]) == (1, 3)
+    assert got[3]["n_splits"] == 2
+    # empty doc occupies no span but keeps a row
+    assert got[4]["n_tokens"] == 0 and got[4]["seq_first"] == got[4]["seq_last"] == 3
+    assert got[5]["tok_offset"] == 17 and (got[5]["seq_first"], got[5]["seq_last"]) == (3, 3)
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+
+
+def test_pack_sequences_sharded_deterministic(spark):
+    from kgpipe.corpus import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (1 + i % 7))) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, pack_sequences(df, budget=16).collect()))
+    b = sorted(map(tuple, pack_sequences(
+        df.repartition(13), budget=16).collect()))
+    assert a == b  # layout independent of input partitioning
+    # within every shard, offsets are contiguous: sum of tokens == max cum
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in pack_sequences(df, budget=16).collect():
+        per[r["shard"]].append(r)
+    for shard, rs in per.items():
+        rs.sort(key=lambda r: r["tok_offset"])
+        off = 0
+        for r in rs:
+            assert r["tok_offset"] == off
+            off += r["n_tokens"]
