@@ -65,12 +65,18 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
         (F.col("doc_id") % 3).cast("int") + 1,
     )
+    # tool turns carry a deterministic tool name so the usedTool triple
+    # family is exercised by the oracle gate, not just pytest
+    tool = F.when(
+        F.col("doc_id") % 3 == 2,
+        F.concat(F.lit("tool"), (F.col("doc_id") % 5).cast("int").cast("string")),
+    ).otherwise(F.lit(None).cast("string"))
     return d.select(
         F.col("source").alias("conv_id"),
         F.floor(F.col("doc_id") / 20).cast("int").alias("turn_idx"),
         role.alias("role"),
         F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
+        tool.alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
 
@@ -103,7 +109,9 @@ _SQL_TRANSCRIPTS = """
 transcripts AS (
   SELECT source AS conv_id, (doc_id // 20)::int AS turn_idx, text,
          CASE (doc_id % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
-              ELSE 'tool' END AS role
+              ELSE 'tool' END AS role,
+         CASE WHEN doc_id % 3 = 2 THEN 'tool' || (doc_id % 5)::varchar
+              ELSE NULL END AS tool
   FROM documents
 )"""
 
@@ -163,6 +171,12 @@ t_role AS (
          'http://purl.org/kgpipe/hasRole' AS pred,
          role AS obj, conv_id, turn_idx
   FROM transcripts WHERE role IS NOT NULL),
+t_tool AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/kgpipe/usedTool' AS pred,
+         tool AS obj, conv_id, turn_idx
+  FROM transcripts WHERE tool IS NOT NULL),
 t_denote AS (
   SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
            || turn_idx::varchar AS subj,
@@ -185,8 +199,8 @@ t_cooc AS (
    AND a.concept_id < b.concept_id),
 tri AS (
   SELECT * FROM t_conv UNION ALL SELECT * FROM t_part
-  UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_denote
-  UNION ALL SELECT * FROM t_cooc)"""
+  UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_tool
+  UNION ALL SELECT * FROM t_denote UNION ALL SELECT * FROM t_cooc)"""
 
 _SQL_DOUBLED = """
 doubled AS (
@@ -2018,6 +2032,12 @@ t_role AS (
          'http://purl.org/kgpipe/hasRole' AS pred,
          role AS obj, conv_id, turn_idx
   FROM transcripts WHERE role IS NOT NULL),
+t_tool AS (
+  SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+           || turn_idx::varchar AS subj,
+         'http://purl.org/kgpipe/usedTool' AS pred,
+         tool AS obj, conv_id, turn_idx
+  FROM transcripts WHERE tool IS NOT NULL),
 t_denote AS (
   SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
            || turn_idx::varchar AS subj,
@@ -2027,7 +2047,8 @@ t_denote AS (
          conv_id, turn_idx
   FROM mentions)
 SELECT * FROM t_conv UNION ALL SELECT * FROM t_part
-UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_denote""",
+UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_tool
+UNION ALL SELECT * FROM t_denote""",
         # stream_cooc = the stateful operator's pair semantics in SQL:
         # distinct per-turn concept sets; cross-turn pairs once per
         # (concept-in-earlier-turn, concept-in-later-turn) combination
