@@ -81,6 +81,34 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conv_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts variant with UNIQUE (conv_id, turn_idx) — doc_id splits
+    bijectively into (conv residue, turn quotient) — plus a deterministic
+    monotone ts with periodic >15-min jumps, for the window operators
+    (sessionize, role transitions) whose semantics assume the input_hint's
+    per-conversation turn-key uniqueness."""
+    d = _docs(spark, sf_dir)
+    turn = F.floor(F.col("doc_id") / 10).cast("int")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    # 5-min cadence with a 2-h jump at every 7th turn (monotone)
+    ts = F.timestamp_seconds(
+        F.lit(1735689600) + turn * 300 + F.floor(turn / 7) * 7200
+    )
+    return d.select(
+        F.concat(F.col("source"), F.lit("-"),
+                 (F.col("doc_id") % 10).cast("int").cast("string"))
+        .alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        ts.alias("ts"),
+    )
+
+
 def _tech_dictionary(spark: SparkSession) -> DataFrame:
     rows = [
         ("TECH", cid, TECH_CANON[cid], v, True, v)
@@ -1034,6 +1062,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_sequences(_docs(spark, sf_dir), budget=64)
 
+    def q_sessionize(spark, sf_dir):
+        from kgpipe.convops import sessionize
+
+        return sessionize(
+            _conv_transcripts(spark, sf_dir), gap_seconds=900
+        ).select("conv_id", "turn_idx", "session_idx")
+
+    def q_role_transitions(spark, sf_dir):
+        from kgpipe.convops import role_transitions
+
+        return role_transitions(_conv_transcripts(spark, sf_dir))
+
     def q_lsh_topk(spark, sf_dir):
         from kgpipe.similarity import lsh_topk
 
@@ -1280,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "sample_strata": q_sample_strata,
         "pack_plan": q_pack_plan,
+        "sessionize": q_sessionize,
+        "role_transitions": q_role_transitions,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_disambig": q_embedding_disambig,
@@ -1987,6 +2029,43 @@ WHERE substring(md5(doc_id::varchar), 1, 8) <
                 WHEN 'de' THEN 'c0000000'
                 WHEN 'fr' THEN '80000000'
                 ELSE '20000000' END""",
+        # unique-keyed conv transcripts (doc_id split bijectively) with the
+        # deterministic ts ramp of _conv_transcripts; session boundaries
+        # computed on epoch seconds, identical to ts.cast(long) deltas
+        "sessionize": """
+WITH ct AS (
+  SELECT source || '-' || (doc_id % 10)::varchar AS conv_id,
+         (doc_id // 10)::int AS turn_idx,
+         ((doc_id // 10) * 300 + (doc_id // 10 // 7) * 7200)::bigint AS ts_s
+  FROM documents),
+lagd AS (
+  SELECT conv_id, turn_idx, ts_s,
+         lag(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_s
+  FROM ct)
+SELECT conv_id, turn_idx,
+       (sum(CASE WHEN prev_s IS NOT NULL AND ts_s - prev_s > 900
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::int
+         AS session_idx
+FROM lagd""",
+        "role_transitions": """
+WITH ct AS (
+  SELECT source || '-' || (doc_id % 10)::varchar AS conv_id,
+         (doc_id // 10)::int AS turn_idx,
+         CASE (doc_id % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role
+  FROM documents),
+lagr AS (
+  SELECT conv_id,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS from_role,
+         role AS to_role
+  FROM ct)
+SELECT from_role, to_role, count(*) AS n_transitions,
+       count(DISTINCT conv_id) AS n_convs
+FROM lagr WHERE from_role IS NOT NULL
+GROUP BY from_role, to_role""",
         # concat-and-cut packing layout at budget=64, sharded by the first
         # 2 hex chars of md5(doc_id) exactly like corpus.pack_sequences
         "pack_plan": """

@@ -1,0 +1,69 @@
+"""Conversation-structure analytics over the transcript table: gap-based
+sessionization and role-transition statistics.
+
+The reference pipeline's unit of work is a whole document flowing through
+UIMA annotators (nlp-pipelines-runner PipelineBase); it has no notion of
+time-structured dialogue.  These operators cover the transcript-payload
+side of the task brief: multi-turn conversations carry a ``ts:timestamp``
+column (BASELINE.json input_hint) and real agent logs need episode
+segmentation and turn-taking statistics before KG construction.
+
+Both operators are one hash-exchange-on-conv_id window plans — the same
+shuffle shape as mention detection and co-occurrence, so at 100 TB they
+ride the partitioning the pipeline already has.  Skew is bounded by
+conversation length; pathological mega-conversations are the same case
+the fused plan's ``max_turns_per_group`` guard addresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    transcripts: DataFrame, gap_seconds: int = 900
+) -> DataFrame:
+    """Split each conversation into sessions at inactivity gaps: a turn
+    starts a new session when it follows its predecessor (stable
+    ``turn_idx`` order) by more than ``gap_seconds``.  Adds a
+    0-based ``session_idx`` column; turns with NULL ``ts`` never open a
+    new session (offline transcripts without timestamps collapse to one
+    session per conversation, preserving reference-parity turn grouping).
+
+    Classic log sessionization: lag + cumulative-sum-of-boundaries over a
+    per-conversation window — one exchange, local sort, no Python.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_ts = F.lag("ts").over(w)
+    boundary = (
+        prev_ts.isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("ts").cast("long") - prev_ts.cast("long") > gap_seconds)
+    ).cast("int")
+    session_idx = F.sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return transcripts.withColumn(
+        "session_idx", session_idx.cast("int")
+    )
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Turn-taking statistics: for each ordered role pair (who speaks
+    after whom, in stable ``turn_idx`` order within a conversation),
+    the number of transitions and the number of distinct conversations
+    exhibiting it — ``(from_role, to_role, n_transitions, n_convs)``.
+
+    The window exchange partitions on conv_id; the final aggregate is
+    key-width (role vocabularies are tiny) with a map-side partial.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    staged = transcripts.select(
+        "conv_id",
+        F.lag("role").over(w).alias("from_role"),
+        F.col("role").alias("to_role"),
+    ).filter(F.col("from_role").isNotNull())
+    return staged.groupBy("from_role", "to_role").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )

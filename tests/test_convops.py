@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from kgpipe.convops import role_transitions, sessionize
+
+
+def _ts(minutes):
+    return dt.datetime(2025, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+def test_sessionize_gap_split(spark):
+    rows = [
+        ("c1", 0, "user", "hi", None, _ts(0)),
+        ("c1", 1, "assistant", "hello", None, _ts(2)),
+        ("c1", 2, "user", "later", None, _ts(40)),   # 38 min gap -> new
+        ("c1", 3, "assistant", "ok", None, _ts(41)),
+        ("c2", 0, "user", "solo", None, _ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_idx"]
+        for r in sessionize(df, gap_seconds=900).collect()
+    }
+    assert got[("c1", 0)] == 0 and got[("c1", 1)] == 0
+    assert got[("c1", 2)] == 1 and got[("c1", 3)] == 1
+    assert got[("c2", 0)] == 0
+
+
+def test_sessionize_null_ts(spark):
+    rows = [
+        ("c1", 0, "user", "a", None, None),
+        ("c1", 1, "assistant", "b", None, None),
+        ("c1", 2, "user", "c", None, _ts(500)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = [
+        r["session_idx"]
+        for r in sessionize(df).orderBy("turn_idx").collect()
+    ]
+    # NULL ts never opens a session boundary
+    assert got == [0, 0, 0]
+
+
+def test_role_transitions(spark):
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+        ("c1", 3, "assistant"),
+        ("c2", 0, "user"), ("c2", 1, "assistant"), ("c2", 2, "tool"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role"])
+    got = {
+        (r["from_role"], r["to_role"]): (r["n_transitions"], r["n_convs"])
+        for r in role_transitions(df).collect()
+    }
+    assert got[("user", "assistant")] == (3, 2)
+    assert got[("assistant", "user")] == (1, 1)
+    assert got[("assistant", "tool")] == (1, 1)
+    assert len(got) == 3
