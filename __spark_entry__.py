@@ -59,12 +59,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    role = F.element_at(
+def _role_expr():
+    """doc_id % 3 → user / assistant / tool (mirrored by the CASE in
+    _SQL_TRANSCRIPTS and the role_transitions oracle)."""
+    return F.element_at(
         F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
         (F.col("doc_id") % 3).cast("int") + 1,
     )
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    role = _role_expr()
     # tool turns carry a deterministic tool name so the usedTool triple
     # family is exercised by the oracle gate, not just pytest
     tool = F.when(
@@ -89,10 +95,7 @@ def _conv_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-conversation turn-key uniqueness."""
     d = _docs(spark, sf_dir)
     turn = F.floor(F.col("doc_id") / 10).cast("int")
-    role = F.element_at(
-        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
-        (F.col("doc_id") % 3).cast("int") + 1,
-    )
+    role = _role_expr()
     # 5-min cadence with a 2-h jump at every 7th turn (monotone)
     ts = F.timestamp_seconds(
         F.lit(1735689600) + turn * 300 + F.floor(turn / 7) * 7200

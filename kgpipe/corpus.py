@@ -197,7 +197,12 @@ def stratified_sample(
     thr = F.lit(rate_threshold_hex(default_rate))
     for name, rate in sorted(rates.items()):
         thr = F.when(s == name, F.lit(rate_threshold_hex(rate))).otherwise(thr)
-    h = F.substring(F.md5(F.concat(F.lit(salt), F.col(key))), 1, 8)
+    # '|' separator keeps (salt, key) injective — concat('1', '23') must
+    # not collide with concat('12', '3'); no separator when unsalted so
+    # the plain md5(key) contract (and its SQL oracle) stays simple
+    k = F.col(key).cast("string")
+    hashed = F.concat(F.lit(salt + "|"), k) if salt else k
+    h = F.substring(F.md5(hashed), 1, 8)
     return df.filter(h < thr)
 
 
@@ -240,7 +245,7 @@ def pack_sequences(
     shard = F.substring(F.md5(F.col(key).cast("string")), 1, n_shard_hex)
     w = (
         Window.partitionBy("shard")
-        .orderBy(key)
+        .orderBy("doc_id")  # staged aliases `key` to doc_id below
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     staged = df.select(

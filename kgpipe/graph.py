@@ -36,10 +36,17 @@ def predicate_stats(triples: DataFrame) -> DataFrame:
     )
 
 
-def _edges(triples: DataFrame) -> DataFrame:
+def _edges(triples: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Distinct (subj, obj) entity edges — degree/reach semantics are
-    defined on the distinct graph, not the triple multiset."""
-    return triples.select("subj", "obj").distinct()
+    defined on the distinct graph, not the triple multiset.
+
+    ``checkpoint`` (default) materializes the edge set eagerly via
+    ``localCheckpoint`` so operators that reference it from several join
+    branches don't re-execute the whole upstream triple-construction
+    plan per branch (same rationale as the persisted symmetric edge set
+    in kgpipe.canon.connected_components)."""
+    e = triples.select("subj", "obj").distinct()
+    return e.localCheckpoint(eager=True) if checkpoint else e
 
 
 def degree_topk(triples: DataFrame, k: int = 20) -> DataFrame:
@@ -47,23 +54,24 @@ def degree_topk(triples: DataFrame, k: int = 20) -> DataFrame:
     ``(entity, out_deg, in_deg, total_deg, rank)``, ties broken by entity
     string ascending so the result is deterministic.
 
-    Two key-width aggregates (out per subj, in per obj) full-outer-joined
-    on the entity key; the final top-k is a single-partition window over
-    the (small) degree table — at KG scale, pre-filter with an
-    approximate threshold before ranking if the entity count itself is
-    huge.
+    Single-pass degree aggregate: each edge contributes one (subj, out)
+    and one (obj, in) row, summed in ONE key-width exchange — no
+    full-outer join of two aggregates.  The final top-k is a
+    single-partition window over the (small) degree table — at KG scale,
+    pre-filter with an approximate threshold before ranking if the
+    entity count itself is huge.
     """
-    out_deg = _edges(triples).groupBy(F.col("subj").alias("entity")).agg(
-        F.count(F.lit(1)).alias("out_deg"))
-    in_deg = _edges(triples).groupBy(F.col("obj").alias("entity")).agg(
-        F.count(F.lit(1)).alias("in_deg"))
+    e = _edges(triples)
+    contrib = e.select(
+        F.col("subj").alias("entity"),
+        F.lit(1).alias("o"), F.lit(0).alias("i"),
+    ).unionAll(e.select(
+        F.col("obj").alias("entity"),
+        F.lit(0).alias("o"), F.lit(1).alias("i"),
+    ))
     deg = (
-        out_deg.join(in_deg, "entity", "full_outer")
-        .select(
-            "entity",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-        )
+        contrib.groupBy("entity")
+        .agg(F.sum("o").alias("out_deg"), F.sum("i").alias("in_deg"))
         .withColumn("total_deg", F.col("out_deg") + F.col("in_deg"))
     )
     w = Window.orderBy(F.desc("total_deg"), F.asc("entity"))
@@ -126,13 +134,16 @@ def triangle_count(triples: DataFrame) -> DataFrame:
     collection; counts are integers so the result is oracle-hashable.
     """
     und = (
-        _edges(triples)
+        _edges(triples, checkpoint=False)
         .filter(F.col("subj") != F.col("obj"))
         .select(
             F.least("subj", "obj").alias("u"),
             F.greatest("subj", "obj").alias("v"),
         )
         .distinct()
+        # referenced by the degree aggregate and both sides of the
+        # orientation join — materialize once
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("x"))
@@ -154,6 +165,9 @@ def triangle_count(triples: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.a", "e.b")
+        # three references below (wedge e1/e2 + closing edge) — without
+        # this the whole orientation subtree runs three times
+        .localCheckpoint(eager=True)
     )
     wedges = (
         oriented.alias("e1")

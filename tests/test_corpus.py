@@ -242,3 +242,15 @@ def test_pack_sequences_sharded_deterministic(spark):
         for r in rs:
             assert r["tok_offset"] == off
             off += r["n_tokens"]
+
+
+def test_pack_sequences_custom_key(spark):
+    from kgpipe.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [("k1", "a b"), ("k2", "c d e")], ["my_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in
+           pack_sequences(df, budget=4, key="my_id").collect()}
+    assert set(got) == {"k1", "k2"}
+    assert got["k1"]["n_tokens"] == 2 and got["k2"]["n_tokens"] == 3
