@@ -8,8 +8,11 @@ These operators give the Spark-side equivalent over the triple DataFrame
 the kgpipe pipeline materializes, so KG quality checks (predicate mix,
 hub entities, connectivity fan-out) run in the same job as construction.
 
-All ops are integer-valued aggregations/equi-joins — no floats, so every
-one is DuckDB-oracle hashable; no driver-side collection anywhere.
+Every op except ``pagerank`` is an integer-valued aggregation/equi-join —
+no floats, so each is DuckDB-oracle hashable with no driver-side
+collection.  ``pagerank`` is float-valued and iterative (one scalar
+dangling-mass aggregate per round), validated by pytest against a dense
+power-iteration reference instead.
 """
 
 from __future__ import annotations
@@ -181,3 +184,71 @@ def triangle_count(triples: DataFrame) -> DataFrame:
         oriented.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank(
+    triples: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the distinct directed entity graph:
+    ``(entity, rank)`` after ``iters`` power iterations with uniform
+    teleport and dangling-mass redistribution (the full random-surfer
+    model, so ranks sum to 1 every iteration).
+
+    Iterative joins keyed on entity ids — the same shape as
+    kgpipe.canon.connected_components: the edge set and per-iteration
+    rank frames are ``localCheckpoint``ed so plans stay O(1) deep
+    instead of growing per round.  The one scalar per iteration
+    (dangling mass) is a driver-side aggregate of a key-width frame.
+    Float-valued and iterative, so validated by pytest against a dense
+    power-iteration reference rather than a SQL oracle.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = _edges(triples)
+    nodes = (
+        e.select(F.col("subj").alias("id"))
+        .unionAll(e.select(F.col("obj").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank")).withColumnRenamed(
+            "id", "entity")
+    out_deg = (
+        e.groupBy(F.col("subj").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        with_deg = ranks.join(out_deg, "id", "left")
+        # rank mass parked on dangling nodes teleports uniformly
+        dangling = (
+            with_deg.filter(F.col("d").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(with_deg.filter(F.col("d").isNotNull()),
+                   e["subj"] == F.col("id"))
+            .select(
+                F.col("obj").alias("id"),
+                (F.col("rank") / F.col("d")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.withColumnRenamed("id", "entity")

@@ -102,3 +102,40 @@ def test_two_hop_hub_guard(spark):
     # cap below the hub's out-degree: hub is excluded as a mid, and it is
     # the only entity with out-edges from a mid position → no 2-paths left
     assert two_hop_reach(t, max_mid_out=3).collect() == []
+
+
+def test_pagerank_matches_power_iteration(spark):
+    from kgpipe.graph import pagerank
+
+    # mixed graph with a dangling node (d) and a cycle
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d")]
+    t = spark.createDataFrame(
+        [(s, "p", o) for s, o in edges], ["subj", "pred", "obj"]
+    )
+    got = {r["entity"]: r["rank"] for r in pagerank(t, iters=12).collect()}
+
+    # dense reference: same model (uniform teleport + dangling spread)
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, o in set(edges):
+        out.setdefault(s, []).append(o)
+    rank = {x: 1.0 / n for x in nodes}
+    d = 0.85
+    for _ in range(12):
+        dang = sum(rank[x] for x in nodes if x not in out)
+        new = {x: (1 - d) / n + d * dang / n for x in nodes}
+        for s, outs in out.items():
+            for o in outs:
+                new[o] += d * rank[s] / len(outs)
+        rank = new
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for x in nodes:
+        assert abs(got[x] - rank[x]) < 1e-9, (x, got[x], rank[x])
+
+
+def test_pagerank_empty(spark):
+    from kgpipe.graph import pagerank
+
+    t = spark.createDataFrame([], "subj string, pred string, obj string")
+    assert pagerank(t).count() == 0
