@@ -1050,6 +1050,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return triangle_count(_triples(spark, sf_dir))
 
+    def q_ego_network(spark, sf_dir):
+        from kgpipe.graph import ego_network
+
+        return ego_network(
+            _triples(spark, sf_dir),
+            "http://purl.obolibrary.org/obo/T_0001",
+            hops=2,
+        )
+
     def q_sample_strata(spark, sf_dir):
         from kgpipe.corpus import stratified_sample
 
@@ -1321,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_topk": q_graph_degree_topk,
         "graph_two_hop": q_graph_two_hop,
         "graph_triangles": q_graph_triangles,
+        "ego_network": q_ego_network,
         "sample_strata": q_sample_strata,
         "pack_plan": q_pack_plan,
         "sessionize": q_sessionize,
@@ -2025,6 +2035,27 @@ SELECT count(*) AS n_triangles
 FROM oriented e1
 JOIN oriented e2 ON e1.b = e2.a
 JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        # 2-hop undirected ego net around concept T:0001: an edge's hop =
+        # 1 + the BFS distance of its nearer endpoint (unrolled for hops=2,
+        # mirroring kgpipe.graph.ego_network's frontier semi-joins)
+        "ego_network": f"""
+{_SQL_TRIPLES},
+e AS (SELECT subj, pred, obj FROM tri),
+d0 AS (SELECT 'http://purl.obolibrary.org/obo/T_0001' AS id, 0 AS d),
+n1 AS (
+  SELECT DISTINCT id, 1 AS d FROM (
+    SELECT e.obj AS id FROM e JOIN d0 ON e.subj = d0.id
+    UNION ALL
+    SELECT e.subj AS id FROM e JOIN d0 ON e.obj = d0.id)
+  WHERE id <> 'http://purl.obolibrary.org/obo/T_0001'),
+dist AS (SELECT * FROM d0 UNION ALL SELECT * FROM n1)
+SELECT subj, pred, obj, min(hop)::int AS hop FROM (
+  SELECT e.subj, e.pred, e.obj, dist.d + 1 AS hop
+  FROM e JOIN dist ON e.subj = dist.id
+  UNION ALL
+  SELECT e.subj, e.pred, e.obj, dist.d + 1 AS hop
+  FROM e JOIN dist ON e.obj = dist.id)
+GROUP BY subj, pred, obj""",
         "sample_strata": """
 SELECT doc_id, lang FROM documents
 WHERE substring(md5(doc_id::varchar), 1, 8) <

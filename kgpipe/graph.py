@@ -252,3 +252,65 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.withColumnRenamed("id", "entity")
+
+
+def ego_network(
+    triples: DataFrame,
+    entity: str,
+    hops: int = 2,
+    directed: bool = False,
+) -> DataFrame:
+    """The ``hops``-neighborhood subgraph around ``entity``: every triple
+    incident to an entity within ``hops - 1`` steps of the seed, as
+    ``(subj, pred, obj, hop:int)`` where ``hop`` = 1 + the nearer
+    endpoint's distance from the seed (the step on which a BFS from the
+    seed first crosses that edge).  ``directed=False`` (default) measures
+    distance over undirected edges — the usual ego-net semantics;
+    ``directed=True`` follows subj→obj only (and tags by subject
+    distance).
+
+    Frontier expansion by semi-join, one round per hop (hops is small
+    and fixed — 1–3 in practice); the triple set and each frontier are
+    localCheckpointed so plan depth stays constant.  Frontiers are
+    entity-id sets (tiny next to the edge set), so at cluster scale
+    every round is one broadcast-capable equi-join — hub fan-out is
+    bounded by the real neighborhood size, which is what the caller
+    asked to see.
+    """
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    e = triples.select("subj", "pred", "obj").localCheckpoint(eager=True)
+    dist = e.sparkSession.createDataFrame(
+        [(entity, 0)], "id string, d int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, hops):
+        fwd = e.join(
+            frontier.withColumnRenamed("id", "subj"), "subj", "left_semi"
+        ).select(F.col("obj").alias("id"))
+        step = fwd
+        if not directed:
+            bwd = e.join(
+                frontier.withColumnRenamed("id", "obj"), "obj", "left_semi"
+            ).select(F.col("subj").alias("id"))
+            step = fwd.unionAll(bwd)
+        frontier = (
+            step.distinct()
+            .join(dist.select("id"), "id", "left_anti")
+            .select("id", F.lit(h).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionAll(frontier).localCheckpoint(eager=True)
+    out = e.join(
+        dist.withColumnRenamed("id", "subj"), "subj"
+    ).select("subj", "pred", "obj", (F.col("d") + 1).alias("hop"))
+    if directed:
+        return out.withColumn("hop", F.col("hop").cast("int"))
+    rev = e.join(
+        dist.select(F.col("id").alias("obj"), "d"), "obj"
+    ).select("subj", "pred", "obj", (F.col("d") + 1).alias("hop"))
+    return (
+        out.unionAll(rev)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min("hop").cast("int").alias("hop"))
+    )

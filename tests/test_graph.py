@@ -139,3 +139,30 @@ def test_pagerank_empty(spark):
 
     t = spark.createDataFrame([], "subj string, pred string, obj string")
     assert pagerank(t).count() == 0
+
+
+def test_ego_network(spark):
+    from kgpipe.graph import ego_network
+
+    #   seed -> a -> b -> c ;  x -> seed ;  far: c -> d (outside 2 hops)
+    rows = [("seed", "p", "a"), ("a", "p", "b"), ("b", "p", "c"),
+            ("x", "q", "seed"), ("c", "p", "d")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {(r["subj"], r["obj"]): r["hop"]
+           for r in ego_network(t, "seed", hops=2).collect()}
+    # hop 1: edges incident to seed; hop 2: edges whose nearer endpoint
+    # is at distance 1 (a->b via a; x->seed also hop1 via seed side)
+    assert got[("seed", "a")] == 1
+    assert got[("x", "seed")] == 1
+    assert got[("a", "b")] == 2
+    assert ("b", "c") not in got  # b is at distance 2, edge needs d(b)<2
+    assert ("c", "d") not in got
+
+    directed = {(r["subj"], r["obj"]): r["hop"]
+                for r in ego_network(t, "seed", hops=2, directed=True).collect()}
+    assert directed[("seed", "a")] == 1 and directed[("a", "b")] == 2
+    # x -> seed is NOT reachable following subj->obj from seed
+    assert ("x", "seed") not in directed
+
+    with pytest.raises(ValueError):
+        ego_network(t, "seed", hops=0)
