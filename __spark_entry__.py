@@ -338,9 +338,13 @@ WHERE list_dot_product(a.e, b.e)
 """
 
 
-def _minhash_cte(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_cte(k: int = 8, bands: int = 4, threshold: float = 0.5,
+                 max_bucket: int = 500) -> str:
     """Shared WITH-body deriving near-dup ``pairs`` from the doubled corpus
-    (minhash signature → bands → candidate join → exact-Jaccard verify)."""
+    (minhash signature → bands → hot-bucket cap → id-only candidate join →
+    exact-Jaccard verify on re-joined token sets — mirrors
+    kgpipe.textops.minhash_lsh_pairs including its max_bucket_size
+    default)."""
     sig_elems = ", ".join(
         f"list_min(list_transform(td, t -> md5('{i}|' || t)))" for i in range(k)
     )
@@ -349,7 +353,7 @@ def _minhash_cte(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
     for b in range(bands):
         val = " || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb))
         band_selects.append(
-            f"SELECT doc_id, td, {b} AS band_idx, {val} AS band_val FROM sig"
+            f"SELECT doc_id, {b} AS band_idx, {val} AS band_val FROM sig"
         )
     banded = " UNION ALL ".join(band_selects)
     return f"""{_SQL_DOUBLED.lstrip()},
@@ -357,21 +361,28 @@ sub AS (SELECT doc_id, text FROM doubled WHERE (doc_id % 100000) < 100),
 t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM sub),
 sig AS (SELECT doc_id, td, [{sig_elems}] AS sig FROM t),
 banded AS ({banded}),
+capped AS (
+  SELECT doc_id, band_idx, band_val FROM (
+    SELECT doc_id, band_idx, band_val,
+           count(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+    FROM banded)
+  WHERE bsz <= {max_bucket}
+),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         any_value(a.td) AS ta, any_value(b.td) AS tb
-  FROM banded a JOIN banded b
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
 ),
 pairs AS (
   SELECT doc_a, doc_b,
-         len(list_intersect(ta, tb))::double
-           / len(list_distinct(list_concat(ta, tb)))::double AS jaccard
+         len(list_intersect(ta.td, tb.td))::double
+           / len(list_distinct(list_concat(ta.td, tb.td)))::double AS jaccard
   FROM cand
-  WHERE len(list_intersect(ta, tb))::double
-          / len(list_distinct(list_concat(ta, tb)))::double >= {threshold}
+  JOIN t ta ON cand.doc_a = ta.doc_id
+  JOIN t tb ON cand.doc_b = tb.doc_id
+  WHERE len(list_intersect(ta.td, tb.td))::double
+          / len(list_distinct(list_concat(ta.td, tb.td)))::double >= {threshold}
 )"""
 
 
@@ -1652,9 +1663,12 @@ WITH aug AS (
 )
 SELECT doc_id,
   len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
-  len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ips,
   len(regexp_extract_all(
-     regexp_replace(text, '{_PII_IPV4}', '<IP>', 'g'),
+     regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+     '{_PII_IPV4}')) AS n_ips,
+  len(regexp_extract_all(
+     regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{_PII_IPV4}', '<IP>', 'g'),
      '{_PII_PHONE}')) AS n_phones,
   regexp_replace(regexp_replace(regexp_replace(
     text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
@@ -1683,7 +1697,8 @@ h AS (
 b AS (
   SELECT doc_id, hosts,
     len(list_filter(hosts,
-        x -> x IN ('site1.example.org', 'site3.example.org'))) AS n_blocked
+        x -> len(list_filter(['site1.example.org', 'site3.example.org'],
+                 d -> x = d OR x LIKE '%.' || d)) > 0)) AS n_blocked
   FROM h
 )
 SELECT doc_id, len(hosts) AS n_urls, n_blocked, n_blocked > 0 AS blocked
@@ -2006,11 +2021,18 @@ deg AS (
 SELECT entity, out_deg, in_deg, total_deg,
        row_number() OVER (ORDER BY total_deg DESC, entity ASC)::int AS rank
 FROM deg QUALIFY rank <= 20""",
+        # mirrors two_hop_reach's DEFAULT hub guard (max_mid_out=100000):
+        # mids above the out-degree bound are dropped before the 2-path
+        # join (a no-op at this SF, but the semantics must match)
         "graph_two_hop": f"""
 {_SQL_TRIPLES},
-edges AS (SELECT DISTINCT subj, obj FROM tri)
+edges AS (SELECT DISTINCT subj, obj FROM tri),
+okmid AS (SELECT subj AS mid FROM edges GROUP BY subj
+          HAVING count(*) <= 100000)
 SELECT e1.subj AS entity, count(DISTINCT e2.obj) AS n_two_hop
-FROM edges e1 JOIN edges e2 ON e1.obj = e2.subj
+FROM edges e1
+JOIN edges e2 ON e1.obj = e2.subj
+JOIN okmid ON e2.subj = okmid.mid
 WHERE e2.obj <> e1.subj
 GROUP BY e1.subj""",
         # degree-oriented triangle count: undirect+distinct, orient every
@@ -2074,7 +2096,9 @@ WITH ct AS (
   FROM documents),
 lagd AS (
   SELECT conv_id, turn_idx, ts_s,
-         lag(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_s
+         last_value(ts_s IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s
   FROM ct)
 SELECT conv_id, turn_idx,
        (sum(CASE WHEN prev_s IS NOT NULL AND ts_s - prev_s > 900

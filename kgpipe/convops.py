@@ -24,17 +24,24 @@ def sessionize(
     transcripts: DataFrame, gap_seconds: int = 900
 ) -> DataFrame:
     """Split each conversation into sessions at inactivity gaps: a turn
-    starts a new session when it follows its predecessor (stable
-    ``turn_idx`` order) by more than ``gap_seconds``.  Adds a
-    0-based ``session_idx`` column; turns with NULL ``ts`` never open a
-    new session (offline transcripts without timestamps collapse to one
-    session per conversation, preserving reference-parity turn grouping).
+    starts a new session when it follows the conversation's most recent
+    TIMESTAMPED turn (stable ``turn_idx`` order) by more than
+    ``gap_seconds``.  Adds a 0-based ``session_idx`` column; turns with
+    NULL ``ts`` never open a new session (offline transcripts without
+    timestamps collapse to one session per conversation, preserving
+    reference-parity turn grouping), and a NULL-ts turn sandwiched
+    between timestamped turns does NOT suppress the gap on the next
+    timestamped turn — the gap compares against the last non-NULL ``ts``
+    (``last_value IGNORE NULLS``), not the immediate predecessor.
 
-    Classic log sessionization: lag + cumulative-sum-of-boundaries over a
-    per-conversation window — one exchange, local sort, no Python.
+    Classic log sessionization: last-non-null lookback + cumulative-sum-
+    of-boundaries over a per-conversation window — one exchange, local
+    sort, no Python.
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    prev_ts = F.lag("ts").over(w)
+    prev_ts = F.last("ts", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     boundary = (
         prev_ts.isNotNull()
         & F.col("ts").isNotNull()

@@ -43,27 +43,25 @@ def redact_pii(df: DataFrame, text: str = "text") -> DataFrame:
     numbers (3-3-4 with ``-``/``.`` separators) so a dotted-quad is never
     half-eaten by the phone rule.
 
+    Each count runs on the text as redacted by the EARLIER rules (emails
+    on raw, IPs on email-redacted, phones on email+IP-redacted) so the
+    counts equal the number of placeholders actually emitted — a
+    phone-shaped string inside an email local part is consumed by
+    ``<EMAIL>`` and counted by neither later rule.
+
     Scale: three chained ``regexp_replace`` + three ``regexp_count`` per
     row — narrow projection, zero shuffle at any corpus size, whole-stage
     codegen.  At 100 TB the cost is the scan itself.
     """
     c = F.col(text)
+    after_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
     return df.select(
         "doc_id",
         F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(c, F.lit(IPV4_RE)).alias("n_ips"),
-        # phone counted on the ip-redacted text so dotted-quads never
-        # double-count as phones (mirrors the replace chain below)
-        F.regexp_count(
-            F.regexp_replace(c, IPV4_RE, "<IP>"), F.lit(PHONE_RE)
-        ).alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-            ),
-            PHONE_RE,
-            "<PHONE>",
-        ).alias("redacted"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(after_ip, PHONE_RE, "<PHONE>").alias("redacted"),
     )
 
 
@@ -74,7 +72,12 @@ def url_stats(
 ) -> DataFrame:
     """C4-style URL accounting + domain blocklist: per document, the
     number of URLs, the number whose host (lowercased, ``www.``-stripped)
-    is on ``blocked_domains``, and a ``blocked`` flag (any hit).
+    matches ``blocked_domains``, and a ``blocked`` flag (any hit).
+
+    Matching is registrable-domain style (the C4 / Raffel et al. 2020
+    blocklist convention): a host is blocked when it EQUALS a blocked
+    domain or is a subdomain of one (``sub.blocked.org`` matches
+    ``blocked.org``).
 
     The blocklist rides into the expression as a literal array —
     appropriate for curated blocklists (10²–10⁵ domains ship fine inside
@@ -91,7 +94,13 @@ def url_stats(
         if blocked_domains else F.array().cast("array<string>")
     staged = df.select("doc_id", hosts.alias("_hosts"))
     n_blocked = F.size(
-        F.filter(F.col("_hosts"), lambda h: F.array_contains(blocked_arr, h))
+        F.filter(
+            F.col("_hosts"),
+            lambda h: F.exists(
+                blocked_arr,
+                lambda d: (h == d) | h.endswith(F.concat(F.lit("."), d)),
+            ),
+        )
     )
     return staged.select(
         "doc_id",

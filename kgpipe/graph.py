@@ -84,31 +84,41 @@ def degree_topk(triples: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def _mid_bounded_edges(e: DataFrame, max_mid_out: Optional[int]) -> DataFrame:
+    """The right side of a 2-path join with hub mids removed: edges whose
+    SOURCE has out-degree <= ``max_mid_out`` (None = unbounded).  Factored
+    out so the hub-guard bound is directly testable: after this filter the
+    2-path join emits at most ``|E| * max_mid_out`` rows regardless of
+    skew."""
+    if max_mid_out is None:
+        return e
+    small_mids = (
+        e.groupBy(F.col("subj").alias("mid"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= max_mid_out)
+        .select("mid")
+    )
+    return e.join(small_mids, e["subj"] == small_mids["mid"], "left_semi")
+
+
 def two_hop_reach(
-    triples: DataFrame, max_mid_out: Optional[int] = None
+    triples: DataFrame, max_mid_out: Optional[int] = 100_000
 ) -> DataFrame:
     """Per-entity count of distinct entities reachable in exactly two
     hops (``a → mid → b``, ``b != a``): ``(entity, n_two_hop)``.
 
-    The self-join keys on the mid entity — the classic hub-skew join. At
-    scale pass ``max_mid_out``: mids whose out-degree exceeds it are
-    dropped before the join (documented recall trade, the standard
-    triangle/`2`-path bound), turning a potentially quadratic hub fan-out
-    into a bounded one.  Both join sides are the distinct edge set, never
-    the triple multiset.
+    The self-join keys on the mid entity — the classic hub-skew join.
+    ``max_mid_out`` (DEFAULT 100 000 — the safe path is the default
+    path): mids whose out-degree exceeds it are dropped before the join
+    (documented recall trade, the standard triangle/2-path bound), so a
+    10^8-degree celebrity entity cannot turn the join quadratic — the
+    intermediate is bounded by ``|E| * max_mid_out``.  Pass ``None`` to
+    opt out explicitly when exact counts through hubs are required and
+    the skew is known to be manageable.  Both join sides are the
+    distinct edge set, never the triple multiset.
     """
     e = _edges(triples)
-    right = e
-    if max_mid_out is not None:
-        small_mids = (
-            e.groupBy(F.col("subj").alias("mid"))
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") <= max_mid_out)
-            .select("mid")
-        )
-        right = e.join(
-            small_mids, e["subj"] == small_mids["mid"], "left_semi"
-        )
+    right = _mid_bounded_edges(e, max_mid_out)
     stepped = (
         e.alias("e1")
         .join(right.alias("e2"), F.col("e1.obj") == F.col("e2.subj"))
@@ -259,6 +269,7 @@ def ego_network(
     entity: str,
     hops: int = 2,
     directed: bool = False,
+    max_frontier: Optional[int] = 5_000_000,
 ) -> DataFrame:
     """The ``hops``-neighborhood subgraph around ``entity``: every triple
     incident to an entity within ``hops - 1`` steps of the seed, as
@@ -267,15 +278,22 @@ def ego_network(
     seed first crosses that edge).  ``directed=False`` (default) measures
     distance over undirected edges — the usual ego-net semantics;
     ``directed=True`` follows subj→obj only (and tags by subject
-    distance).
+    distance).  Both modes return the DISTINCT edge set of the
+    neighborhood — duplicate (subj, pred, obj) triples collapse to one
+    row with the minimum hop.
 
     Frontier expansion by semi-join, one round per hop (hops is small
     and fixed — 1–3 in practice); the triple set and each frontier are
     localCheckpointed so plan depth stays constant.  Frontiers are
     entity-id sets (tiny next to the edge set), so at cluster scale
-    every round is one broadcast-capable equi-join — hub fan-out is
-    bounded by the real neighborhood size, which is what the caller
-    asked to see.
+    every round is one broadcast-capable equi-join.  ``max_frontier``
+    (default 5M) is the hub guard: expanding through a celebrity entity
+    can make the next frontier graph-sized, at which point "the ego net"
+    is no longer a subgraph worth materializing — if a frontier exceeds
+    the bound the call fails fast with ``ValueError`` (the frontier is
+    already checkpointed, so the size check is one cheap count) instead
+    of silently joining a graph-scale frontier.  Pass ``None`` to opt
+    out explicitly.
     """
     if hops < 1:
         raise ValueError(f"hops must be >= 1, got {hops}")
@@ -300,12 +318,25 @@ def ego_network(
             .select("id", F.lit(h).alias("d"))
             .localCheckpoint(eager=True)
         )
+        if max_frontier is not None:
+            n_frontier = frontier.count()
+            if n_frontier > max_frontier:
+                raise ValueError(
+                    f"ego_network frontier at hop {h} has {n_frontier} "
+                    f"entities (> max_frontier={max_frontier}); the seed "
+                    "reaches a hub — raise max_frontier explicitly (or pass "
+                    "None) if materializing a graph-scale neighborhood is "
+                    "intended"
+                )
         dist = dist.unionAll(frontier).localCheckpoint(eager=True)
     out = e.join(
         dist.withColumnRenamed("id", "subj"), "subj"
     ).select("subj", "pred", "obj", (F.col("d") + 1).alias("hop"))
     if directed:
-        return out.withColumn("hop", F.col("hop").cast("int"))
+        return (
+            out.groupBy("subj", "pred", "obj")
+            .agg(F.min("hop").cast("int").alias("hop"))
+        )
     rev = e.join(
         dist.select(F.col("id").alias("obj"), "d"), "obj"
     ).select("subj", "pred", "obj", (F.col("d") + 1).alias("hop"))

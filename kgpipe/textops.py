@@ -16,6 +16,8 @@ cartesian similarity scan.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
@@ -95,6 +97,7 @@ def minhash_lsh_pairs(
     k: int = 8,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: Optional[int] = 500,
 ) -> DataFrame:
     """shingle → minhash → band → bucket-join near-duplicate pairs.
 
@@ -102,15 +105,33 @@ def minhash_lsh_pairs(
     adjacent signature slots); candidates are verified with exact token
     Jaccard.  The join is an equi-join on (band_idx, band_value) — the LSH
     trick that keeps near-dup detection shuffle-partitionable at 100 TB
-    (no O(n²) comparison)."""
+    (no O(n²) comparison).
+
+    Two scale guards (both mirrored in the SQL oracle):
+
+    - **id-only candidate join**: the banded frame carries only
+      ``(doc_id, band_idx, band_val)`` — fixed-width keys — through the
+      self-join; the token sets re-attach by doc_id only for the exact
+      Jaccard verify of the (corpus-≪) surviving candidates.  Without
+      this the shuffle payload at 100 TB is the token arrays themselves.
+    - **hot-bucket cap** (``max_bucket_size``, default 500; ``None``
+      opts out): a degenerate band value — empty docs, boilerplate-
+      identical shards — puts B docs in one bucket and would emit B²
+      candidates.  Buckets larger than the cap are dropped whole (the
+      bounded-candidate trade SimHash's combination blocking makes;
+      members of a >cap bucket almost always share another, smaller
+      band, and truly mass-duplicated text is exact-dedup's job —
+      ``dedup_keep`` — not LSH's).  The cap is a window count over the
+      same (band_idx, band_val) hash partitioning the join shuffles on,
+      so it adds no exchange; post-cap, candidate count is bounded by
+      ``bands * n_docs * max_bucket_size``.
+    """
     rows_per_band = k // bands
     sig = df.select(
         F.col("doc_id"), minhash_signature(text, k).alias("sig"),
-        distinct_tokens_col(text).alias("toks"),
     )
     banded = sig.select(
         "doc_id",
-        "toks",
         F.explode(
             F.array(
                 *[
@@ -125,7 +146,14 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "toks", "band.band_idx", "band.band_val")
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_val")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -139,10 +167,17 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toks = df.select("doc_id", distinct_tokens_col(text).alias("toks"))
+    cand = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("doc_a"),
+                        F.col("toks").alias("toks_a")), "doc_a")
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"),
+                        F.col("toks").alias("toks_b")), "doc_b")
     )
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
         F.array_union("toks_a", "toks_b")
@@ -604,6 +639,7 @@ def near_dup_clusters(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_iter: int = 20,
+    max_bucket_size: Optional[int] = 500,
 ) -> DataFrame:
     """Fuzzy dedup keep-one: MinHash-LSH near-dup pairs → connected
     components (near-duplicate-ness is transitively closed, as chains of
@@ -616,7 +652,8 @@ def near_dup_clusters(
     never touches document text."""
     from .canon import connected_components
 
-    pairs = minhash_lsh_pairs(df, text, k, bands, jaccard_threshold)
+    pairs = minhash_lsh_pairs(df, text, k, bands, jaccard_threshold,
+                              max_bucket_size=max_bucket_size)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(edges, max_iter=max_iter).withColumnRenamed(
         "node", "doc_id"

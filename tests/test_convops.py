@@ -50,6 +50,27 @@ def test_sessionize_null_ts(spark):
     assert got == [0, 0, 0]
 
 
+def test_sessionize_mixed_null_ts_gap_still_splits(spark):
+    # a NULL-ts turn between timestamped turns must not swallow the gap:
+    # the next timestamped turn compares against the LAST non-NULL ts
+    rows = [
+        ("c1", 0, "user", "a", None, _ts(0)),
+        ("c1", 1, "tool", "b", None, None),       # untimestamped tool log
+        ("c1", 2, "user", "c", None, _ts(40)),    # 40 min after turn 0
+        ("c1", 3, "assistant", "d", None, _ts(41)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = [
+        r["session_idx"]
+        for r in sessionize(df, gap_seconds=900).orderBy("turn_idx").collect()
+    ]
+    assert got == [0, 0, 1, 1]
+
+
 def test_role_transitions(spark):
     rows = [
         ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),

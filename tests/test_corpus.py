@@ -49,6 +49,20 @@ def test_redact_pii_dotted_quad_not_phone(spark):
     assert "<IP>" in r2["redacted"] and "<PHONE>" not in r2["redacted"]
 
 
+def test_redact_pii_counts_match_placeholders(spark):
+    # phone-/IP-shaped strings inside an email local part are consumed by
+    # <EMAIL>; counts run on the progressively redacted text so they equal
+    # the placeholders actually present in the output
+    df = spark.createDataFrame(
+        [(1, "mail 303.555.1234@x.io and 10.0.0.1@y.io end")],
+        ["doc_id", "text"],
+    )
+    r = redact_pii(df).first()
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (2, 0, 0)
+    assert r["redacted"] == "mail <EMAIL> and <EMAIL> end"
+    assert r["redacted"].count("<EMAIL>") == r["n_emails"]
+
+
 def test_redact_pii_matches_duckdb(docs):
     """The exact patterns must behave identically under RE2 (the oracle)."""
     pdf = docs.toPandas()
@@ -60,9 +74,12 @@ def test_redact_pii_matches_duckdb(docs):
             f"""
             SELECT doc_id,
               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
-              len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
               len(regexp_extract_all(
-                 regexp_replace(text, '{IPV4_RE}', '<IP>', 'g'),
+                 regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{IPV4_RE}')) AS n_ips,
+              len(regexp_extract_all(
+                 regexp_replace(regexp_replace(
+                   text, '{EMAIL_RE}', '<EMAIL>', 'g'), '{IPV4_RE}', '<IP>', 'g'),
                  '{PHONE_RE}')) AS n_phones,
               regexp_replace(regexp_replace(regexp_replace(
                 text, '{EMAIL_RE}', '<EMAIL>', 'g'),
@@ -84,9 +101,15 @@ def test_url_stats(docs):
         for r in url_stats(docs, blocked_domains=["blocked.org"]).collect()
     }
     assert got[5]["n_urls"] == 2
-    # host lowercased + www-stripped: sub.blocked.org is NOT blocked.org
-    assert got[5]["n_blocked"] == 0 and not got[5]["blocked"]
+    # C4-style registrable-domain match: sub.blocked.org IS under blocked.org
+    assert got[5]["n_blocked"] == 1 and got[5]["blocked"]
     assert got[3]["n_urls"] == 0 and not got[3]["blocked"]
+    # ...but suffix matching requires a dot boundary: notblocked.org is safe
+    got_b = {
+        r["doc_id"]: r
+        for r in url_stats(docs, blocked_domains=["locked.org"]).collect()
+    }
+    assert got_b[5]["n_blocked"] == 0 and not got_b[5]["blocked"]
 
     got2 = {
         r["doc_id"]: r

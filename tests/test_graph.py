@@ -104,6 +104,68 @@ def test_two_hop_hub_guard(spark):
     assert two_hop_reach(t, max_mid_out=3).collect() == []
 
 
+def test_two_hop_planted_hub_bounded_intermediate(spark):
+    from kgpipe.graph import _edges, _mid_bounded_edges
+
+    # 10^3-degree planted hub: 20 sources -> hub -> 1000 sinks.  Unguarded,
+    # the 2-path join emits 20 * 1000 = 20k rows; with the guard the hub
+    # is removed from the mid position and the intermediate is bounded by
+    # |E| * max_mid_out.
+    rows = [(f"s{i}", "p", "hub") for i in range(20)]
+    rows += [("hub", "p", f"t{i}") for i in range(1000)]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    e = _edges(t)
+
+    def n_intermediate(cap):
+        right = _mid_bounded_edges(e, cap).selectExpr(
+            "subj AS mid_subj", "obj AS mid_obj"
+        )
+        return e.join(right, e["obj"] == right["mid_subj"]).count()
+
+    max_mid_out = 50
+    assert n_intermediate(None) == 20 * 1000
+    bounded = n_intermediate(max_mid_out)
+    assert bounded == 0  # the hub was the only mid with out-edges
+    assert bounded <= e.count() * max_mid_out
+    # the DEFAULT call carries the guard (100k cap — a no-op here, but the
+    # quadratic path needs an explicit opt-out)
+    got = {r["entity"]: r["n_two_hop"] for r in two_hop_reach(t).collect()}
+    assert got["s0"] == 1000
+
+
+def test_ego_network_directed_dedupes_multiset(spark):
+    from kgpipe.graph import ego_network
+
+    # duplicate (subj, pred, obj) triples (two mentions of the same fact)
+    # must collapse to ONE row with min hop in BOTH modes
+    rows = [("seed", "p", "a"), ("seed", "p", "a"), ("a", "p", "b"),
+            ("a", "p", "b"), ("a", "q", "b")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    for directed in (True, False):
+        out = ego_network(t, "seed", hops=2, directed=directed).collect()
+        keys = [(r["subj"], r["pred"], r["obj"]) for r in out]
+        assert len(keys) == len(set(keys)) == 3
+        hops = {(r["subj"], r["pred"], r["obj"]): r["hop"] for r in out}
+        assert hops[("seed", "p", "a")] == 1
+        assert hops[("a", "p", "b")] == 2 and hops[("a", "q", "b")] == 2
+
+
+def test_ego_network_frontier_guard(spark):
+    from kgpipe.graph import ego_network
+
+    rows = [("seed", "p", "hub")] + [
+        ("hub", "p", f"t{i}") for i in range(50)
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    # hop-1 frontier is {hub} (size 1): fine; raising the hop count pulls
+    # the 50 hub targets into the frontier and trips a tight bound
+    assert ego_network(t, "seed", hops=2, max_frontier=10).count() > 0
+    with pytest.raises(ValueError, match="max_frontier"):
+        ego_network(t, "seed", hops=3, max_frontier=10)
+    # explicit opt-out restores the unbounded behavior
+    assert ego_network(t, "seed", hops=3, max_frontier=None).count() == 51
+
+
 def test_pagerank_matches_power_iteration(spark):
     from kgpipe.graph import pagerank
 

@@ -43,6 +43,36 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    # 200 identical documents: every band collides, so an uncapped run
+    # emits the full 200*199/2 quadratic pair set.  With the cap below the
+    # bucket size, the degenerate buckets are dropped whole and the
+    # candidate (and output) count is zero — the bounded-candidate trade.
+    n = 200
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, max_bucket_size=None).count()
+    assert uncapped == n * (n - 1) // 2
+    assert minhash_lsh_pairs(df, max_bucket_size=50).count() == 0
+    # the DEFAULT call carries a finite cap (500): these 200 identical
+    # docs are below it, so near-dup recall at normal bucket sizes is kept
+    assert minhash_lsh_pairs(df).count() == uncapped
+
+
+def test_near_dup_clusters_inherits_bucket_cap(spark):
+    from kgpipe.textops import near_dup_clusters
+
+    n = 60
+    rows = [(i, "identical mass duplicated boilerplate") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the bucket size: no pairs -> every doc keeps itself
+    out = near_dup_clusters(df, max_bucket_size=10).collect()
+    assert all(r["doc_id"] == r["keep_doc_id"] for r in out)
+    # uncapped: one cluster, min doc_id representative
+    out2 = near_dup_clusters(df, max_bucket_size=None).collect()
+    assert {r["keep_doc_id"] for r in out2} == {0}
+
+
 def test_ngram_jaccard(spark):
     pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
              ngram_jaccard_pairs(_docs(spark), n=2, threshold=0.3).collect()}
