@@ -652,6 +652,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select("conv_id", "turn_idx", "concept_id", "begin",
                            "end", "covered_text")
 
+    def q_mayla_conv_freq(spark, sf_dir):
+        # the reference's exact granularity: surface frequency over the
+        # WHOLE conversation text (MaylaPostProcessingComponent.java:115
+        # counts over the full document), threshold 3
+        m = _mentions(spark, sf_dir).withColumn(
+            "ontology", F.lit("TECH")
+        ).withColumn("error", F.lit(None).cast("string"))
+        kept = mayla_filter(
+            m, _transcripts(spark, sf_dir), _tech_dictionary(spark),
+            concept_freq=3, freq_scope="conversation",
+        )
+        return kept.select("conv_id", "turn_idx", "concept_id", "begin",
+                           "end", "covered_text")
+
     def q_tfidf_support(spark, sf_dir):
         return tfidf_scores(_mentions(spark, sf_dir), exact=True).select(
             "conv_id", "concept_id", "tf", "df"
@@ -1316,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mayla_freq": q_mayla_freq,
         "mayla_ns_freq": q_mayla_ns_freq,
         "mayla_nofreq": q_mayla_nofreq,
+        "mayla_conv_freq": q_mayla_conv_freq,
         "tfidf_support": q_tfidf_support,
         "connected_components": q_connected_components,
         "dedup_exact": q_dedup_exact,
@@ -1497,6 +1512,29 @@ SELECT conv_id, turn_idx, concept_id, begin, "end", covered_text
 FROM joined
 WHERE ((length(text) - length(replace(text, covered_text, '')))
         / length(covered_text))::int >= thr
+   OR covered_text = label""",
+        # conversation-scope frequency: count over the concatenation of
+        # the conversation's turns in stable (turn_idx, text) order —
+        # mirrors mayla_filter(freq_scope='conversation')
+        "mayla_conv_freq": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+canon(cid, label) AS (VALUES
+  ('T:0001','Spark Engine'), ('T:0002','Window Operator'),
+  ('T:0003','Vector Value'), ('T:0004','Fast Table'),
+  ('T:0005','Customer Entity')),
+conv_text AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx, text) AS ctext
+  FROM transcripts GROUP BY conv_id),
+joined AS (
+  SELECT m.*, ct.ctext, c.label
+  FROM mentions m
+  JOIN conv_text ct ON m.conv_id = ct.conv_id
+  LEFT JOIN canon c ON m.concept_id = c.cid
+)
+SELECT conv_id, turn_idx, concept_id, begin, "end", covered_text
+FROM joined
+WHERE ((length(ctext) - length(replace(ctext, covered_text, '')))
+        / length(covered_text))::int >= 3
    OR covered_text = label""",
         "mayla_nofreq": f"""
 WITH {_SQL_MENTIONS.lstrip()},

@@ -38,13 +38,14 @@ def mayla_filter(
     concept_freq: Optional[int | dict[str, int]] = None,
     annotator_col: Optional[str] = None,
     default_freq: int = 1,
+    freq_scope: str = "turn",
 ) -> DataFrame:
     """Keep/drop semantics of ``MaylaPostProcessingComponent.java:97-125``:
 
     - gold-set rows (annotator == 99099099) always pass;
     - no-freq mode (concept_freq is None): DROP unless the surface form is
       all-caps OR starts uppercase (keep acronyms / capitalized);
-    - freq mode: DROP when (surface frequency in the turn text
+    - freq mode: DROP when (surface frequency in scope
       < concept_freq) AND surface != canonical label.
 
     ``concept_freq`` may be a single int or a per-ontology threshold map
@@ -54,9 +55,42 @@ def mayla_filter(
     ``MAYLA_CONCEPT_FREQ`` below); ontologies absent from the map fall back
     to ``default_freq`` (1 = always keep, since a covered surface occurs in
     its own turn at least once).
+
+    ``freq_scope`` selects the frequency granularity:
+
+    - ``'turn'`` (default): surface frequency within the mention's own
+      turn text — SURVEY D1's "document text ≡ per-turn text" mapping,
+      and the zero-extra-shuffle contract the fused plan relies on;
+    - ``'conversation'``: frequency over the WHOLE conversation text
+      (turns concatenated in stable (turn_idx, text) order) — the
+      reference's exact granularity (it counts over the full document
+      text, ``MaylaPostProcessingComponent.java:115``).  Costs one
+      conv_id groupBy exchange to assemble conversation text; skew is
+      bounded by conversation length (the fused plan's
+      ``max_turns_per_group`` case).
     """
-    text_src = transcripts.select("conv_id", "turn_idx", "text")
-    m = mentions.join(text_src, ["conv_id", "turn_idx"], "left")
+    if freq_scope not in ("turn", "conversation"):
+        raise ValueError(
+            f"freq_scope must be 'turn' or 'conversation', got {freq_scope!r}"
+        )
+    if freq_scope == "conversation" and concept_freq is not None:
+        conv_text = (
+            transcripts.groupBy("conv_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("turn_idx", "text"))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                    "\n",
+                ).alias("text")
+            )
+        )
+        m = mentions.join(conv_text, ["conv_id"], "left")
+    else:
+        text_src = transcripts.select("conv_id", "turn_idx", "text")
+        m = mentions.join(text_src, ["conv_id", "turn_idx"], "left")
 
     canon = dictionary.select("concept_id", "canonical").dropDuplicates(["concept_id"])
     m = m.join(F.broadcast(canon), "concept_id", "left")

@@ -1,16 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow batches.
 
-The IMAGE decode step is REAL and dependency-free: a pure-numpy parser for
-the netpbm family (P2/P3 ASCII, P5/P6 binary) and uncompressed 24/32-bit
-BMP decodes pixels to a luminance plane, and the feature vector is a 4×4
-grid of mean luminances (16 floats in [0, 1]).  Audio/video decoding
-remains STUBBED (no soundfile/pyav in this container) — ``decode_fn``
-raises ``NotImplementedError`` for those modalities unless the
+The IMAGE and AUDIO decode steps are REAL and dependency-free:
+
+- image: a pure-numpy parser for the netpbm family (P2/P3 ASCII, P5/P6
+  binary) and uncompressed 24/32-bit BMP decodes pixels to a luminance
+  plane; the feature vector is a 4×4 grid of mean luminances (16 floats
+  in [0, 1]).
+- audio: a pure-numpy RIFF/WAVE parser (PCM 8/16/32-bit and IEEE
+  float32, any channel count, downmixed to mono); the feature vector is
+  8 per-segment RMS levels + 8 spectral-band energy fractions (16
+  floats in [0, 1]).
+
+VIDEO decoding remains STUBBED (no pyav in this container) —
+``decode_fn`` raises ``NotImplementedError`` for it unless the
 deterministic fake is requested — but the Spark-side plumbing (schema,
 partitioning, ``mapInPandas`` UDF signature, batch shape, per-row error
-quarantine) is identical for every modality, so a torchaudio/pyav-backed
-decoder plugs into the same seam the image decoder occupies.
+quarantine) is identical for every modality, so a pyav-backed decoder
+plugs into the same seam the image and audio decoders occupy.
 """
 
 from __future__ import annotations
@@ -158,6 +165,86 @@ def grid_features(lum: np.ndarray, grid: int = _GRID) -> list[float]:
     return out
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload to a mono float32 signal in [-1, 1] plus
+    its sample rate.  Pure numpy — supports PCM 8-bit unsigned, 16/32-bit
+    signed little-endian, and IEEE float32, any channel count (downmixed
+    by mean).  Raises ``ValueError`` on anything else."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("empty or truncated WAV payload")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        # chunks are word-aligned: odd sizes carry one pad byte
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError("bad WAV fmt chunk")
+    if audio_format == 1 and bits == 8:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 4)], dtype="<i4"
+        ).astype(np.float32) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 4)], dtype="<f4"
+        ).astype(np.float32)
+    else:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits})"
+        )
+    if x.size == 0:
+        raise ValueError("WAV data chunk has no samples")
+    n_frames = x.size // n_channels
+    if n_frames == 0:
+        raise ValueError("WAV data shorter than one frame")
+    mono = x[: n_frames * n_channels].reshape(n_frames, n_channels).mean(axis=1)
+    return np.clip(mono, -1.0, 1.0), sample_rate
+
+
+def audio_features(mono: np.ndarray, segments: int = 8) -> list[float]:
+    """Fixed-dim audio features: ``segments`` per-segment RMS levels over
+    equal time slices (temporal envelope) + ``segments`` spectral-band
+    energy fractions of the magnitude spectrum (equal-width rfft bands,
+    normalized to sum 1) — ``2 * segments`` = FEATURE_DIM floats, all in
+    [0, 1].  Deterministic, no windows/overlap: this is a fingerprint for
+    dedup/quality pipelines, not a perceptual embedding."""
+    n = mono.size
+    edges = np.linspace(0, n, segments + 1, dtype=np.int64)
+    rms: list[float] = []
+    for i in range(segments):
+        seg = mono[edges[i]:edges[i + 1]]
+        if seg.size == 0:
+            seg = mono
+        rms.append(float(np.sqrt(np.mean(seg.astype(np.float64) ** 2))))
+    spec = np.abs(np.fft.rfft(mono.astype(np.float64))) ** 2
+    total = float(spec.sum())
+    bedges = np.linspace(0, spec.size, segments + 1, dtype=np.int64)
+    bands: list[float] = []
+    for i in range(segments):
+        b = spec[bedges[i]:bedges[i + 1]]
+        bands.append(float(b.sum() / total) if total > 0 else 0.0)
+    return [min(1.0, v) for v in rms] + bands
+
+
 def _fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder: 16 floats derived from the
     sha256 of the payload.  Replaces (not approximates) pixel decoding —
@@ -167,15 +254,19 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 
 
 def decode_fn(payload: bytes, modality: str, fake: bool = False) -> list[float]:
-    """The pluggable decode step.  Images decode for real (netpbm/BMP via
-    ``decode_image`` + ``grid_features``); audio/video decoders
-    (soundfile/pyav) are NOT available in this container — STUB."""
+    """The pluggable decode step.  Images (netpbm/BMP via ``decode_image``
+    + ``grid_features``) and audio (RIFF/WAVE via ``decode_wav`` +
+    ``audio_features``) decode for real; a video decoder (pyav) is NOT
+    available in this container — STUB."""
     if fake:
         return _fake_decode_features(payload)
     if modality == "image":
         return grid_features(decode_image(payload))
+    if modality == "audio":
+        mono, _ = decode_wav(payload)
+        return audio_features(mono)
     raise NotImplementedError(
-        f"real {modality} decoding requires audio/video libs not present in "
+        f"real {modality} decoding requires video libs not present in "
         "this environment; pass fake=True for the deterministic stand-in"
     )
 

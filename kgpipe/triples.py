@@ -14,6 +14,8 @@ Vocabulary (public): RDF/OA/DCTERMS plus OBO PURLs for concepts.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -267,3 +269,100 @@ def write_triples(
         clustered.sortWithinPartitions("bucket").write.mode(mode).parquet(path)
     else:
         clustered.write.mode(mode).partitionBy("bucket").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# snapshot-committed sink (Iceberg-style atomic table commits)
+# ---------------------------------------------------------------------------
+
+_LATEST = "_latest"
+
+
+def committed_snapshot(path: str) -> Optional[str]:
+    """Name of the last COMMITTED snapshot directory under ``path`` (the
+    ``_latest`` pointer's content), or None if no commit has happened."""
+    import os
+
+    ptr = os.path.join(path, _LATEST)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return fh.read().strip()
+
+
+def write_triples_snapshot(
+    triples: DataFrame, path: str, n_buckets: int = 64,
+) -> dict:
+    """Crash-consistent triple-table write with an Iceberg-style snapshot
+    commit (the sink-level analogue of the reference's catalog commit,
+    ``RunCatalogAE.java:64-113``: data first, then one atomic pointer
+    flip).  Protocol:
+
+    1. data lands in ``path/snap-N.inprogress`` (N = 1 + last committed);
+    2. a ``_manifest.json`` (total + per-bucket row counts, file list) is
+       written INSIDE the staging dir;
+    3. the staging dir is renamed to ``path/snap-N`` and the ``_latest``
+       pointer file is replaced atomically (write-temp + ``os.replace``).
+
+    A crash at ANY point leaves ``_latest`` on the previous complete
+    snapshot: readers (``read_triples_snapshot``) never see partial data,
+    and a rerun simply overwrites the orphaned ``.inprogress`` dir — no
+    duplicate buckets, bit-identical final table.  On a real cluster the
+    same shape goes through the Iceberg catalog (its metadata-file swap IS
+    this pointer flip, done transactionally by the catalog); the
+    rename-based commit here is the local-FS stand-in.  Returns the
+    manifest dict (snapshot name, n_triples, per-bucket counts).
+    """
+    import json
+    import os
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    prev = committed_snapshot(path)
+    n = int(prev.rsplit("-", 1)[1]) + 1 if prev else 1
+    snap = f"snap-{n}"
+    staging = os.path.join(path, snap + ".inprogress")
+    final = os.path.join(path, snap)
+    for d in (staging, final):  # orphans from a previous crashed attempt
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    write_triples(triples, staging, n_buckets=n_buckets, mode="overwrite",
+                  layout="clustered")
+    spark = triples.sparkSession
+    written = spark.read.parquet(staging)
+    per_bucket = {
+        str(r["bucket"]): r["n"]
+        for r in written.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    manifest = {
+        "snapshot": snap,
+        "n_triples": sum(per_bucket.values()),
+        "n_buckets": n_buckets,
+        "bucket_counts": per_bucket,
+        "files": sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        ),
+        "parent": prev,
+    }
+    with open(os.path.join(staging, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+
+    os.rename(staging, final)  # data + manifest become visible together
+    tmp_ptr = os.path.join(path, _LATEST + ".tmp")
+    with open(tmp_ptr, "w") as fh:
+        fh.write(snap)
+    os.replace(tmp_ptr, os.path.join(path, _LATEST))  # THE commit point
+    return manifest
+
+
+def read_triples_snapshot(spark, path: str) -> DataFrame:
+    """Read the last COMMITTED snapshot of a ``write_triples_snapshot``
+    table — in-progress/orphaned data is invisible by construction."""
+    import os
+
+    snap = committed_snapshot(path)
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    return spark.read.parquet(os.path.join(path, snap))

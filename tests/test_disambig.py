@@ -67,6 +67,44 @@ def test_mayla_freq_mode(spark, frames):
     assert rows == {("GO_1", 94)}
 
 
+def test_mayla_freq_scope_truth_table(spark):
+    # a surface occurring ONCE PER TURN across 3 turns: turn scope sees
+    # frequency 1 (dropped at thr=2), conversation scope sees 3 (kept) —
+    # the reference counts over the whole document
+    # (MaylaPostProcessingComponent.java:115), which maps to
+    # freq_scope='conversation' for multi-turn conversations
+    mentions = spark.createDataFrame(
+        [("c1", 0, "PR", "PR_9", 4, 9, "motif", None)], M_SCHEMA
+    )
+    transcripts = spark.createDataFrame(
+        [("c1", 0, "user", "the motif appears", None, None),
+         ("c1", 1, "assistant", "that motif again", None, None),
+         ("c1", 2, "user", "same motif indeed", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    dictionary = spark.createDataFrame(
+        [("PR", "PR_9", "motif protein", "motif", True, "motif")], D_SCHEMA
+    )
+    turn = mayla_filter(mentions, transcripts, dictionary, concept_freq=2,
+                        freq_scope="turn").count()
+    conv = mayla_filter(mentions, transcripts, dictionary, concept_freq=2,
+                        freq_scope="conversation").count()
+    assert (turn, conv) == (0, 1)
+    # conversation scope with an unreachable threshold still drops
+    assert mayla_filter(mentions, transcripts, dictionary, concept_freq=4,
+                        freq_scope="conversation").count() == 0
+    # canonical-label equality still short-circuits in conversation scope
+    m2 = spark.createDataFrame(
+        [("c1", 0, "PR", "PR_9", 0, 13, "motif protein", None)], M_SCHEMA
+    )
+    assert mayla_filter(m2, transcripts, dictionary, concept_freq=99,
+                        freq_scope="conversation").count() == 1
+    with pytest.raises(ValueError):
+        mayla_filter(mentions, transcripts, dictionary, concept_freq=2,
+                     freq_scope="document")
+
+
 def test_tfidf_disambiguate_resolves_shared_span(spark):
     # same span maps to two concepts; A has corpus support elsewhere
     rows = [

@@ -303,6 +303,62 @@ def test_stream_conv_pairs_state_cap(spark, tmp_path):
     assert (0, 1, "CL:0000099", "CL:0000540") not in got
 
 
+def test_stream_conv_pairs_eviction_boundary(spark, tmp_path):
+    """Mid-stream cap crossing, naming the exact recall trade: a turn with
+    THREE concepts under max_state_concepts=2 stores only the sorted-first
+    two.  Lost: cross-batch pairs whose EARLIER turn's evicted concept
+    (the sorted-last, CL:0000540 neuron) meets a LATER batch's turn.
+    Kept: every in-batch pair (full sets) and cross-batch pairs through
+    the stored prefix {CL:0000057, CL:0000099}."""
+    from kgpipe.detect import build_dictionary_df
+    from kgpipe.streaming import stream_conv_pairs, stream_transcripts
+
+    in_dir = tmp_path / "ein"
+    out_dir = str(tmp_path / "eout")
+    ckpt = str(tmp_path / "eckpt")
+    in_dir.mkdir()
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    # batch 1, turn 0: fibroblast CL:0000057 + interneuron CL:0000099 +
+    # neuron CL:0000540 (3 concepts > cap of 2)
+    spark.createDataFrame(
+        [("c1", 0, "user", "a neuron a fibroblast an interneuron",
+          None, None)], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    # batch 2, turn 1: amacrine cell CL:0000561
+    spark.createDataFrame(
+        [("c1", 1, "user", "one amacrine cell appears", None, None)], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b2"))
+    d = build_dictionary_df(spark, {"CL": MINI_OBO})
+
+    stream = spark.readStream.schema(
+        stream_transcripts(spark, str(in_dir / "*")).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(in_dir / "*"))
+    pairs = stream_conv_pairs(stream, d, cooc_window=3, max_state_concepts=2)
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.ta, r.tb, r.ca, r.cb)
+           for r in spark.read.parquet(out_dir).collect()}
+    # in-batch turn-0 pairs: the FULL 3-concept set, cap not applied
+    assert (0, 0, "CL:0000057", "CL:0000099") in got
+    assert (0, 0, "CL:0000057", "CL:0000540") in got
+    assert (0, 0, "CL:0000099", "CL:0000540") in got
+    # cross-batch through the stored prefix: kept
+    assert (0, 1, "CL:0000057", "CL:0000561") in got
+    assert (0, 1, "CL:0000099", "CL:0000561") in got
+    # cross-batch through the EVICTED concept: this is the documented loss
+    assert (0, 1, "CL:0000540", "CL:0000561") not in got
+    # note: 'amacrine cell' also hits no earlier concept beyond these
+    assert len([p for p in got if p[:2] == (0, 1)]) == 2
+
+
 def test_run_grid_fused_matches_serial(spark):
     """The one-job fused sweep must produce identical TP/FP/FN per
     permutation as the serial per-index loop."""

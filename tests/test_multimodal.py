@@ -23,12 +23,12 @@ def _media(spark):
 
 
 def test_decode_dispatch_without_fake():
-    # images decode for real now: unknown bytes are a decode ERROR
+    # images and audio decode for real now: bad bytes are a decode ERROR
     with pytest.raises(ValueError):
         decode_fn(b"\x89PNG not supported", "image", fake=False)
-    # audio/video decoders genuinely absent: still the declared stub
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_fn(b"RIFF", "audio", fake=False)
+    # video decoder genuinely absent: still the declared stub
     with pytest.raises(NotImplementedError):
         decode_fn(b"x", "video", fake=False)
 
@@ -96,6 +96,77 @@ def test_decode_image_real_formats():
         decode_image(b"")
 
 
+def _wav(samples, sr=8000, bits=16, channels=1, audio_format=1):
+    """Minimal RIFF/WAVE writer from a float array in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if channels > 1:
+        x = np.repeat(x[:, None], channels, axis=1).ravel()
+    if audio_format == 3:
+        data = x.astype("<f4").tobytes()
+    elif bits == 8:
+        data = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    else:
+        data = (np.clip(x, -1, 1) * 2147483647).astype("<i4").tobytes()
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", audio_format, channels, sr, sr * block,
+                      block, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_wav_real_formats():
+    import numpy as np
+
+    from kgpipe.multimodal import audio_features, decode_wav
+
+    t = np.arange(800) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    for kw in ({"bits": 16}, {"bits": 8}, {"bits": 32},
+               {"audio_format": 3, "bits": 32}, {"bits": 16, "channels": 2}):
+        mono, sr = decode_wav(_wav(sine, **kw))
+        assert sr == 8000
+        tol = 0.02 if kw.get("bits") == 8 else 1e-3
+        assert np.allclose(mono, sine, atol=tol)
+    feats = audio_features(decode_wav(_wav(sine))[0])
+    assert len(feats) == FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in feats)
+    # constant-amplitude sine: every temporal RMS segment ≈ 0.5/sqrt(2)
+    for v in feats[:8]:
+        assert abs(v - 0.5 / np.sqrt(2)) < 0.02
+    # 440 Hz at sr 8000 lands in the lowest of 8 rfft bands
+    assert feats[8] > 0.9 and sum(feats[8:]) == pytest.approx(1.0, abs=1e-9)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + b"\x00" * 20)
+    with pytest.raises(ValueError):
+        decode_wav(_wav(sine)[:20])  # fmt/data chunks cut off
+    with pytest.raises(ValueError):
+        decode_wav(b"")
+
+
+def test_extract_features_real_audio_end_to_end(spark):
+    import numpy as np
+
+    t = np.arange(1600) / 8000.0
+    payload = _wav(0.25 * np.sin(2 * np.pi * 220.0 * t))
+    media = spark.createDataFrame(
+        [("wav1", "audio", bytearray(payload), None)],
+        "media_id string, modality string, payload binary,"
+        " meta map<string,string>",
+    )
+    r = extract_features(media, fake=False).first()
+    assert r.error is None and len(r.feature) == FEATURE_DIM
+    assert r.n_bytes == len(payload)
+    assert abs(r.feature[0] - 0.25 / np.sqrt(2)) < 0.02
+
+
 def test_extract_features_real_image_end_to_end(spark):
     import numpy as np
 
@@ -118,7 +189,7 @@ def test_extract_features_real_image_end_to_end(spark):
         assert f[i] < 0.01 and f[i + 1] < 0.01
         assert f[i + 2] > 0.99 and f[i + 3] > 0.99
     assert out["bad"].feature is None and "unsupported" in out["bad"].error
-    assert out["aud"].feature is None and "decoding requires" in out["aud"].error
+    assert out["aud"].feature is None and "truncated" in out["aud"].error
 
 
 def test_extract_features_fake_deterministic(spark):
@@ -137,8 +208,9 @@ def test_extract_features_quarantines_per_row(spark):
     assert all(r.feature is None for r in out.values())
     # image with non-image bytes: real decode error, quarantined
     assert "unsupported image format" in out["m1"].error
-    # audio/video: declared stubs, quarantined
-    assert "decoding requires" in out["m2"].error
+    # audio with truncated bytes: real decode error, quarantined
+    assert "truncated" in out["m2"].error
+    # video: the remaining declared stub, quarantined
     assert "decoding requires" in out["m3"].error
 
 
