@@ -158,10 +158,23 @@ def run_default() -> None:
     # headline 4: oracle-suite queries at the bench SF
     qs = entrymod.queries()
     for name in ["mention_detect", "cooccurrence", "minhash_pairs",
-                 "cosine_topk", "lineitem_pricing", "dedup_exact"]:
+                 "cosine_topk", "lineitem_pricing", "dedup_exact",
+                 "graph_triangles", "ego_network"]:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+
+    # headline 5: PageRank over the sf triple graph (iterative/checkpointed
+    # plan — regressions in plan-depth control show up here, not in the
+    # one-shot queries)
+    from kgpipe.graph import pagerank
+
+    triples_df = qs["kg_triples"](spark, SF_DIR).persist()
+    triples_df.count()  # materialize outside the timed window
+    t0 = time.time()
+    pagerank(triples_df, iters=5).count()
+    timings["pagerank"] = round(time.time() - t0, 3)
+    triples_df.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
