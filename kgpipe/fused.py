@@ -81,6 +81,7 @@ def fused_conv_triples(
     mayla: bool = False,
     mayla_concept_freq: Optional[int | dict] = None,
     mayla_default_freq: int = 1,
+    mayla_freq_scope: str = "turn",
 ) -> DataFrame:
     """transcripts → full triple set with one shuffle (see module doc).
 
@@ -111,12 +112,22 @@ def fused_conv_triples(
     # turn-local, so the production one-shuffle plan expresses it without
     # any extra exchange.  The canonical-label map is ontology-sized and
     # rides the existing broadcast.
+    # freq_scope='conversation' counts the surface over the WHOLE group's
+    # text (the reference's document granularity) — free here because the
+    # group IS the conversation; in split mode the count is block-local
+    # (same documented divergence as block-local TF disambiguation).
+    if mayla_freq_scope not in ("turn", "conversation"):
+        raise ValueError(
+            f"mayla_freq_scope must be 'turn' or 'conversation', "
+            f"got {mayla_freq_scope!r}"
+        )
     mayla_cfg = None
     if mayla:
         canon_label: dict = {}
         for r in rows:
             canon_label.setdefault(r["concept_id"], r.get("canonical"))
-        mayla_cfg = (mayla_concept_freq, mayla_default_freq, canon_label)
+        mayla_cfg = (mayla_concept_freq, mayla_default_freq, canon_label,
+                     mayla_freq_scope == "conversation")
     bc = spark.sparkContext.broadcast((tries, comp_map, mayla_cfg))
     if max_turns_per_group is not None and max_turns_per_group < cooc_window:
         raise ValueError("max_turns_per_group must be >= cooc_window")
@@ -143,6 +154,19 @@ def fused_conv_triples(
         # here as pair partners) produce NO denotes output.
         mentions: list[tuple[int, str, int, int, str, bool]] = []
         seen: set = set()
+        # conversation-scope Mayla frequency text: the group's turns
+        # joined in (turn_idx, text) order — identical to the staged
+        # mayla_filter(freq_scope='conversation') aggregate (block-local
+        # under max_turns_per_group, like TF disambiguation)
+        conv_text = None
+        if mcfg is not None and mcfg[3]:
+            conv_text = "\n".join(
+                t for _, t, _ in sorted(
+                    (ti, text, g) for ti, text, g in turns
+                    if text is not None
+                    and not (isinstance(text, float) and pd.isna(text))
+                )
+            )
         for ti, text, ghost in turns:
             if text is None or (isinstance(text, float) and pd.isna(text)):
                 continue
@@ -156,8 +180,9 @@ def fused_conv_triples(
                         # disambiguation — the staged chain's order
                         # (pipeline.build_mentions)
                         if mcfg is not None and not mayla_keep_py(
-                            cov, text, ont, mcfg[2].get(cid),
-                            mcfg[0], mcfg[1],
+                            cov,
+                            conv_text if conv_text is not None else text,
+                            ont, mcfg[2].get(cid), mcfg[0], mcfg[1],
                         ):
                             continue
                         mentions.append((ti, cid, b, e, cov, ghost))

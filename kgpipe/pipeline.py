@@ -33,6 +33,9 @@ class PipelineConfig:
     mayla: bool = False
     # int, or per-ontology threshold map (e.g. disambig.MAYLA_CONCEPT_FREQ)
     mayla_concept_freq: Optional[int | dict] = None
+    # 'turn' (SURVEY D1 mapping) or 'conversation' (the reference's
+    # whole-document frequency granularity) — honored by BOTH plans
+    mayla_freq_scope: str = "turn"
     disambiguate: bool = True
     canonical: bool = True
     n_buckets: int = 64
@@ -83,7 +86,8 @@ def build_mentions(
         mentions = remove_duplicates(mentions)
     if cfg.mayla:
         mentions = mayla_filter(
-            mentions, transcripts, dictionary, cfg.mayla_concept_freq
+            mentions, transcripts, dictionary, cfg.mayla_concept_freq,
+            freq_scope=cfg.mayla_freq_scope,
         )
     if cfg.disambiguate:
         mentions = mentions.persist()
@@ -136,6 +140,7 @@ def run_pipeline(
                 cache_registry=fused_caches,
                 mayla=cfg.mayla,
                 mayla_concept_freq=cfg.mayla_concept_freq,
+                mayla_freq_scope=cfg.mayla_freq_scope,
             )
 
         if lineage_path:

@@ -108,6 +108,57 @@ def test_fused_mayla_matches_staged(spark):
         assert split == f_rows, freq
 
 
+def test_fused_mayla_conversation_scope_matches_staged(spark):
+    """freq_scope='conversation' (the reference's whole-document
+    frequency granularity) on the fused path must match the staged
+    detect → mayla_filter(freq_scope='conversation') chain, and must
+    diverge from turn scope on a surface spread one-per-turn."""
+    from kgpipe.disambig import mayla_filter
+
+    # synonym surfaces ('nerve cell' → canonical 'neuron', 'interneurone'
+    # → 'interneuron') so the canonical-equality short-circuit never
+    # fires and the decision rides on frequency alone
+    tdf = spark.createDataFrame(
+        [
+            ("s1", 0, "user", "a nerve cell appears", None, None),
+            ("s1", 1, "user", "the nerve cell waits", None, None),
+            ("s1", 2, "user", "that nerve cell leaves", None, None),
+            ("s2", 0, "user", "one interneurone only", None, None),
+        ],
+        T_SCHEMA,
+    )
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO})
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "evidence"]
+
+    staged_m = mayla_filter(detect_mentions(tdf, ddf), tdf, ddf,
+                            concept_freq=2, freq_scope="conversation")
+    staged = all_triples(tdf, canonicalize(staged_m, ddf),
+                         concept_col="canonical_id", cooc_window=3)
+    fused = fused_conv_triples(
+        tdf, ddf, cooc_window=3, disambiguate=False,
+        mayla=True, mayla_concept_freq=2, mayla_freq_scope="conversation",
+    )
+    s_rows = {tuple(r) for r in staged.select(*cols).collect()}
+    f_rows = {tuple(r) for r in fused.select(*cols).collect()}
+    assert s_rows == f_rows
+    # conv scope keeps the one-per-turn 'nerve cell' (conv freq 3 >= 2)
+    # that turn scope drops (turn freq 1 < 2); s2's lone synonym drops
+    denotes = {(r[3], r[4]) for r in f_rows
+               if r[1] == "http://purl.org/kgpipe/denotes"}
+    assert denotes == {("s1", 0), ("s1", 1), ("s1", 2)}
+    turn_scoped = fused_conv_triples(
+        tdf, ddf, cooc_window=3, disambiguate=False,
+        mayla=True, mayla_concept_freq=2, mayla_freq_scope="turn",
+    ).filter("pred = 'http://purl.org/kgpipe/denotes'").count()
+    assert turn_scoped == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fused_conv_triples(tdf, ddf, mayla=True, mayla_concept_freq=2,
+                           mayla_freq_scope="document")
+
+
 def test_fused_mayla_truth_table(spark):
     """No-freq mode on the fused path keeps acronym/capitalized surfaces
     only (MaylaPostProcessingComponent.java:97-113 casing rules)."""
