@@ -2,7 +2,12 @@
 __spark_entry__ query on Spark and its oracle SQL on DuckDB at a given SF,
 compare row count, sorted column names, and an order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a driver-artifact-shaped file — one row
+per query with rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err — so a FULL at-HEAD sweep can be committed alongside
+the driver's (50-row-capped, rotating) CORRECTNESS sample.
 """
 
 from __future__ import annotations
@@ -49,8 +54,14 @@ def frame_hash(rows, colnames) -> tuple[int, str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from kgpipe.session import get_spark
@@ -76,9 +87,17 @@ def main():
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"spark: {type(exc).__name__}: {exc}"}
             print(f"FAIL  {name}: spark error {type(exc).__name__}: {exc}")
             continue
         if name not in oracles:
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(s_rows),
+                            "oracle_rows": None, "err": None,
+                            "note": "rows-only (no oracle SQL)"}
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             continue
@@ -88,6 +107,9 @@ def main():
             d_rows = res.fetchall()
         except Exception as exc:
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(s_rows),
+                            "oracle_rows": None, "err": f"duckdb: {exc}"}
             print(f"FAIL  {name}: duckdb error {exc}")
             continue
         sn, sh = frame_hash(s_rows, s_cols)
@@ -96,6 +118,10 @@ def main():
         status = "OK   " if ok else "FAIL "
         if not ok:
             failures.append(name)
+        report[name] = {"rows_match": sn == dn,
+                        "schema_match": sorted(s_cols) == sorted(d_cols),
+                        "hash_match": sh == dh,
+                        "spark_rows": sn, "oracle_rows": dn, "err": None}
         print(f"{status} {name}: spark={sn} duck={dn} "
               f"cols={'=' if sorted(s_cols)==sorted(d_cols) else sorted(s_cols)+sorted(d_cols)} "
               f"hash={'=' if sh==dh else 'MISMATCH'} [{time.time()-t0:.1f}s]")
@@ -105,6 +131,12 @@ def main():
             print("   spark-only:", sorted(s_set - d_set)[:3])
             print("   duck-only :", sorted(d_set - s_set)[:3])
 
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
     spark.stop()
     sys.exit(1 if failures else 0)
