@@ -209,8 +209,10 @@ def pagerank(
     Iterative joins keyed on entity ids — the same shape as
     kgpipe.canon.connected_components: the edge set and per-iteration
     rank frames are ``localCheckpoint``ed so plans stay O(1) deep
-    instead of growing per round.  The one scalar per iteration
-    (dangling mass) is a driver-side aggregate of a key-width frame.
+    instead of growing per round.  The per-iteration scalar (dangling
+    mass) stays INSIDE the plan as a broadcast 1-row aggregate joined
+    onto the rank update — no driver-side ``.first()`` per round, so
+    each iteration is exactly ONE job (the eager checkpoint), not two.
     Float-valued and iterative, so validated by pytest against a dense
     power-iteration reference rather than a SQL oracle.
     """
@@ -235,11 +237,12 @@ def pagerank(
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         with_deg = ranks.join(out_deg, "id", "left")
-        # rank mass parked on dangling nodes teleports uniformly
-        dangling = (
+        # rank mass parked on dangling nodes teleports uniformly; the
+        # 1-row aggregate broadcast-joins back instead of round-tripping
+        # through the driver
+        dang_df = (
             with_deg.filter(F.col("d").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contribs = (
             e.join(with_deg.filter(F.col("d").isNotNull()),
@@ -251,12 +254,16 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping / n) * F.col("_dang")
+        )
         ranks = (
             nodes.join(contribs, "id", "left")
+            .join(F.broadcast(dang_df))
             .select(
                 "id",
-                (F.lit(base)
+                (base
                  + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
             )
             .localCheckpoint(eager=True)
