@@ -1106,6 +1106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _conv_transcripts(spark, sf_dir), gap_seconds=900
         ).select("conv_id", "turn_idx", "session_idx")
 
+    def q_session_triples(spark, sf_dir):
+        from kgpipe.triples import session_triples
+
+        return session_triples(
+            _conv_transcripts(spark, sf_dir), gap_seconds=900
+        ).select("subj", "pred", "obj", "conv_id", "turn_idx")
+
     def q_role_transitions(spark, sf_dir):
         from kgpipe.convops import role_transitions
 
@@ -1360,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_strata": q_sample_strata,
         "pack_plan": q_pack_plan,
         "sessionize": q_sessionize,
+        "session_triples": q_session_triples,
         "role_transitions": q_role_transitions,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -2145,6 +2153,34 @@ SELECT conv_id, turn_idx,
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::int
          AS session_idx
 FROM lagd""",
+        # session-membership triples over the same sessionize window
+        "session_triples": """
+WITH ct AS (
+  SELECT source || '-' || (doc_id % 10)::varchar AS conv_id,
+         (doc_id // 10)::int AS turn_idx,
+         ((doc_id // 10) * 300 + (doc_id // 10 // 7) * 7200)::bigint AS ts_s
+  FROM documents),
+lagd AS (
+  SELECT conv_id, turn_idx, ts_s,
+         last_value(ts_s IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s
+  FROM ct),
+sess AS (
+  SELECT conv_id, turn_idx,
+         (sum(CASE WHEN prev_s IS NOT NULL AND ts_s - prev_s > 900
+                   THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::int
+           AS session_idx
+  FROM lagd)
+SELECT 'https://kg.example.org/conv/' || conv_id || '#t'
+         || turn_idx::varchar AS subj,
+       'http://purl.org/kgpipe/inSession' AS pred,
+       'https://kg.example.org/conv/' || conv_id || '#s'
+         || session_idx::varchar AS obj,
+       conv_id, turn_idx
+FROM sess""",
         "role_transitions": """
 WITH ct AS (
   SELECT source || '-' || (doc_id % 10)::varchar AS conv_id,

@@ -28,6 +28,7 @@ PRED_DENOTES = KGP + "denotes"
 PRED_COOCCURS = KGP + "cooccursWith"
 PRED_ROLE = KGP + "hasRole"
 PRED_TOOL = KGP + "usedTool"
+PRED_IN_SESSION = KGP + "inSession"
 CLASS_CONV = KGP + "Conversation"
 CLASS_TURN = KGP + "Turn"
 CONV_NS = "https://kg.example.org/conv/"
@@ -208,6 +209,29 @@ def all_triples(transcripts: DataFrame, mentions: DataFrame,
         conversation_triples(transcripts)
         .unionByName(mention_triples(mentions, concept_col))
         .unionByName(cooccurrence_triples(mentions, cooc_window, concept_col))
+    )
+
+
+def session_triples(
+    transcripts: DataFrame, gap_seconds: int = 900
+) -> DataFrame:
+    """Session-membership triples: ``(turn, kgp:inSession, session)``
+    with session URIs ``<conv>#s<idx>`` from gap-based sessionization
+    (kgpipe.convops.sessionize) — the conversation-window structure the
+    north-star's windowed predicates hang off.  One conv_id window
+    exchange (the sessionize plan) plus narrow URI concat columns.
+    """
+    from .convops import sessionize
+
+    s = sessionize(transcripts, gap_seconds=gap_seconds)
+    return _as_triples(
+        s,
+        turn_uri_col(),
+        F.lit(PRED_IN_SESSION),
+        F.concat(F.lit(CONV_NS), F.col("conv_id"), F.lit("#s"),
+                 F.col("session_idx").cast("string")),
+        conv_id="conv_id",
+        turn_idx="turn_idx",
     )
 
 

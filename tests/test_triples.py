@@ -175,3 +175,30 @@ def test_snapshot_write_crash_consistency(spark, tmp_path):
     man = json.load(open(os.path.join(path, "snap-2", "_manifest.json")))
     assert man["snapshot"] == "snap-2" and man["parent"] == "snap-1"
     assert sum(man["bucket_counts"].values()) == len(want)
+
+
+def test_session_triples(spark):
+    import datetime as dt
+
+    from kgpipe.triples import PRED_IN_SESSION, session_triples
+
+    def ts(minutes):
+        return dt.datetime(2025, 1, 1) + dt.timedelta(minutes=minutes)
+
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, ts(0)),
+         ("c1", 1, "assistant", "yo", None, ts(2)),
+         ("c1", 2, "user", "later", None, ts(60))],  # 58-min gap -> session 1
+        T_SCHEMA,
+    )
+    got = {(r.subj, r.obj) for r in session_triples(tdf).collect()}
+    assert got == {
+        ("https://kg.example.org/conv/c1#t0",
+         "https://kg.example.org/conv/c1#s0"),
+        ("https://kg.example.org/conv/c1#t1",
+         "https://kg.example.org/conv/c1#s0"),
+        ("https://kg.example.org/conv/c1#t2",
+         "https://kg.example.org/conv/c1#s1"),
+    }
+    assert all(r.pred == PRED_IN_SESSION
+               for r in session_triples(tdf).collect())
