@@ -46,6 +46,10 @@ class PipelineConfig:
     # rows to restore a corpus-wide duplicate-annotation removal pass
     assume_unique_turns: bool = True
     max_turns_per_group: Optional[int] = None  # fused-plan mega-conv guard
+    # atomic snapshot-committed sink (triples.write_triples_snapshot):
+    # readers never see partial data; mutually exclusive with per-bucket
+    # lineage resume, which owns its own commit protocol
+    snapshot: bool = False
     # per-ontology ConceptMapper knob overrides (MatchConfig); None → the
     # per-ontology optimized defaults (EntityFinder.java:133-170)
     detect_configs: Optional[dict] = None
@@ -114,6 +118,22 @@ def run_pipeline(
     dictionary = build_dictionary_df(spark, cfg.obo_paths, cfg.detect_configs)
     concept_col = "canonical_id" if cfg.canonical else "concept_id"
 
+    if cfg.snapshot and lineage_path:
+        raise ValueError(
+            "snapshot=True and lineage_path are mutually exclusive: lineage "
+            "resume commits per OUTSTANDING bucket (dynamic partition "
+            "overwrite), the snapshot sink commits whole tables atomically"
+        )
+
+    def _write(triples: DataFrame) -> None:
+        if cfg.snapshot:
+            from .triples import write_triples_snapshot
+
+            write_triples_snapshot(triples, output_path, cfg.n_buckets)
+        else:
+            write_triples(triples, output_path, cfg.n_buckets,
+                          mode="overwrite")
+
     if cfg.fused:
         # staged-only options must not silently no-op under --fused
         # (Mayla IS fused-capable: it is document-local and runs inside
@@ -181,7 +201,7 @@ def run_pipeline(
                     df.unpersist()
 
         triples = _make_flat(transcripts)
-        write_triples(triples, output_path, cfg.n_buckets, mode="overwrite")
+        _write(triples)
         for df in fused_caches:
             df.unpersist()
         return triples
@@ -205,7 +225,7 @@ def run_pipeline(
         mentions, triples = _stage(transcripts)
         mentions.persist()  # triple fan-out reads mentions multiple times
         caches.append(mentions)
-        write_triples(triples, output_path, cfg.n_buckets, mode="overwrite")
+        _write(triples)
         return triples
     finally:
         for df in caches:
@@ -241,6 +261,13 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--max-turns-per-group", type=int, default=None,
                     help="fused mode: split mega-conversations into turn "
                          "blocks of this size (skew guard)")
+    ap.add_argument("--mayla-conv-scope", action="store_true",
+                    help="Mayla frequency over the whole conversation "
+                         "(the reference's document granularity) instead "
+                         "of the turn")
+    ap.add_argument("--snapshot", action="store_true",
+                    help="atomic snapshot-committed sink (crash-consistent "
+                         "table commits; excludes --lineage)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -269,6 +296,9 @@ def main(argv: Optional[list[str]] = None) -> None:
         salt_partitions=args.salt_partitions,
         fused=args.fused,
         max_turns_per_group=args.max_turns_per_group,
+        mayla_freq_scope=("conversation" if args.mayla_conv_scope
+                          else "turn"),
+        snapshot=args.snapshot,
     )
     run_pipeline(spark, transcripts, cfg, args.out, args.lineage)
     spark.stop()

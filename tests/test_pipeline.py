@@ -94,3 +94,23 @@ def test_detect_configs_shape_dictionary_and_scan(spark, tmp_path):
     denotes = out.filter("pred = 'http://purl.org/kgpipe/denotes'")
     convs = {r.conv_id for r in denotes.collect()}
     assert convs == {"c1"}  # case-sensitive: only the lowercase surface
+
+
+def test_pipeline_snapshot_sink(spark, tmp_path):
+    import pytest
+
+    from kgpipe.triples import committed_snapshot, read_triples_snapshot
+
+    tdf, _ = _tdf(spark, n=12)
+    cfg = PipelineConfig(obo_paths={"CL": MINI_OBO}, n_buckets=4,
+                         snapshot=True, fused=True)
+    out = str(tmp_path / "tbl")
+    triples = run_pipeline(spark, tdf, cfg, out)
+    assert committed_snapshot(out) == "snap-1"
+    assert read_triples_snapshot(spark, out).count() == triples.count()
+    # second run commits snap-2; reader follows the pointer
+    run_pipeline(spark, tdf, cfg, out)
+    assert committed_snapshot(out) == "snap-2"
+    # snapshot + lineage resume are different commit protocols
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_pipeline(spark, tdf, cfg, out, str(tmp_path / "lin"))
