@@ -10,4 +10,4 @@ plans the physical execution; Python appears only inside Arrow-batched
 pandas UDFs (the trie scanner).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
