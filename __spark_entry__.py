@@ -1253,6 +1253,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "modality", "n_bytes", feat_hex.alias("feat_hex")
         )
 
+    def q_media_probe(spark, sf_dir):
+        # header-only container probing: deterministic P5 payloads whose
+        # dims derive from doc_id, so the oracle recomputes the probe's
+        # answer arithmetically (asserting parse == construction)
+        from kgpipe.multimodal import probe_media
+
+        w = (F.col("doc_id") % 16 + 1).cast("int")
+        h = (F.col("doc_id") % 8 + 1).cast("int")
+        payload = F.encode(
+            F.concat(
+                F.format_string("P5 %d %d 255\n", w, h),
+                F.repeat(F.lit("x"), w * h),
+            ),
+            "utf-8",
+        )
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            payload.alias("payload"),
+        )
+        return probe_media(media).select(
+            "media_id", "format", "width", "height", "n_bytes", "error"
+        )
+
     def q_stream_triples(spark, sf_dir):
         # streaming/batch parity contract (the resume-equivalence the
         # reference's run catalog guarantees): an AvailableNow
@@ -1368,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_plan": q_pack_plan,
         "sessionize": q_sessionize,
         "session_triples": q_session_triples,
+        "media_probe": q_media_probe,
         "role_transitions": q_role_transitions,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -2153,6 +2177,19 @@ SELECT conv_id, turn_idx,
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::int
          AS session_idx
 FROM lagd""",
+        # header probe over constructed P5 payloads: the oracle recomputes
+        # the probe's answer from the same doc_id arithmetic the payload
+        # was built with (parse == construction)
+        "media_probe": """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 16 + 1)::int AS w, (doc_id % 8 + 1)::int AS h
+  FROM documents)
+SELECT doc_id::varchar AS media_id,
+       'pnm' AS format, w AS width, h AS height,
+       (length('P5 ' || w::varchar || ' ' || h::varchar || ' 255') + 1
+          + w * h)::int AS n_bytes,
+       NULL::varchar AS error
+FROM dims""",
         # session-membership triples over the same sessionize window
         "session_triples": """
 WITH ct AS (

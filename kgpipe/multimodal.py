@@ -306,6 +306,106 @@ def extract_features(media: DataFrame, fake: bool = True,
     )
 
 
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def probe_payload(payload: bytes) -> dict:
+    """Typed metadata from a payload's HEADER only — no pixel/sample
+    decode: netpbm (dims), BMP (dims), RIFF/WAVE (rate, channels, frame
+    count), RIFF/AVI (dims, frame count via the ``avih`` main header).
+    The cheap first pass a media pipeline runs over 100 TB of blobs to
+    decide what to decode at all (and the producer of ``n_frames`` that
+    ``frame_sample_plan`` consumes).  Raises ``ValueError`` on unknown
+    or truncated headers."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("payload too short to probe")
+    out = {"format": None, "width": None, "height": None, "n_frames": None,
+           "sample_rate": None, "n_channels": None}
+    magic = payload[:2]
+    if magic in (b"P2", b"P3", b"P5", b"P6"):
+        (w_b, h_b, _), _ = _pnm_tokens(payload, 3, 2)
+        out.update(format="pnm", width=int(w_b), height=int(h_b))
+        return out
+    if magic == b"BM":
+        if len(payload) < 26:
+            raise ValueError("truncated BMP header")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        out.update(format="bmp", width=int(w), height=abs(int(h)))
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        block_align = data_size = 0
+        pos, n = 12, len(payload)
+        while pos + 8 <= n:
+            cid = payload[pos:pos + 4]
+            csize = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt " and pos + 8 + 16 <= n:
+                _, ch, rate, _, block_align, _ = struct.unpack_from(
+                    "<HHIIHH", payload, pos + 8)
+                out.update(sample_rate=int(rate), n_channels=int(ch))
+            elif cid == b"data":
+                data_size = csize
+            pos += 8 + csize + (csize & 1)
+        if out["sample_rate"] is None:
+            raise ValueError("WAV missing fmt chunk")
+        out["format"] = "wav"
+        if data_size and block_align:
+            # audio "frames" = samples per channel in the data chunk
+            out["n_frames"] = int(data_size // block_align)
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        idx = payload.find(b"avih")
+        if idx < 0 or idx + 8 + 40 > len(payload):
+            raise ValueError("AVI missing avih header")
+        f = struct.unpack_from("<10I", payload, idx + 8)
+        out.update(format="avi", n_frames=int(f[4]),
+                   width=int(f[8]), height=int(f[9]))
+        return out
+    raise ValueError(f"unknown media container (magic {payload[:4]!r})")
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Header-only metadata extraction over binary media columns —
+    same Arrow-batch + per-row-quarantine plumbing as
+    ``extract_features``, but reads only container headers (bytes, not
+    pixels/samples), so it is scan-bound at any corpus size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["format", "width", "height", "n_frames", "sample_rate",
+                "n_channels"]
+        for pdf in batches:
+            out = {k: [] for k in ["media_id", *cols, "n_bytes", "error"]}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                out["n_bytes"].append(
+                    len(payload) if payload is not None else 0)
+                try:
+                    info = probe_payload(payload)
+                    for k in cols:
+                        out[k].append(info.get(k))
+                    out["error"].append(None)
+                except ValueError as exc:
+                    for k in cols:
+                        out[k].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PROBE_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: explodes per-media frame indices from
     metadata (``meta['n_frames']``) without decoding — the shuffle-free

@@ -219,3 +219,70 @@ def test_frame_sample_plan(spark):
     assert {(r.media_id, r.frame_idx) for r in frames} == {
         ("m3", 0), ("m3", 10), ("m3", 20)
     }
+
+
+def _avi(width, height, n_frames, usec_per_frame=40000):
+    """Minimal RIFF/AVI with just the avih main header."""
+    import struct
+
+    avih = struct.pack("<14I", usec_per_frame, 0, 0, 0, n_frames, 0, 1, 0,
+                       width, height, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+def test_probe_payload_formats():
+    import numpy as np
+
+    from kgpipe.multimodal import probe_payload
+
+    rgb = np.zeros((6, 9, 3), dtype=np.uint8)
+    p = probe_payload(_ppm_p6(rgb))
+    assert (p["format"], p["width"], p["height"]) == ("pnm", 9, 6)
+    p = probe_payload(_bmp24(rgb))
+    assert (p["format"], p["width"], p["height"]) == ("bmp", 9, 6)
+    wav = _wav(np.zeros(1600), sr=16000, bits=16, channels=2)
+    p = probe_payload(wav)
+    assert (p["format"], p["sample_rate"], p["n_channels"],
+            p["n_frames"]) == ("wav", 16000, 2, 1600)
+    p = probe_payload(_avi(320, 240, 25))
+    assert (p["format"], p["width"], p["height"], p["n_frames"]) == (
+        "avi", 320, 240, 25)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        probe_payload(b"\x00" * 32)
+    with pytest.raises(ValueError):
+        probe_payload(b"RIFF\x00\x00\x00\x00AVI x")  # no avih
+
+
+def test_probe_media_feeds_frame_sample_plan(spark):
+    """probe → meta → frame_sample_plan: the prober supplies the
+    n_frames that the sampling plan explodes, end-to-end on Spark."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.multimodal import frame_sample_plan, probe_media
+
+    rows = [("v1", "video", bytearray(_avi(64, 48, 25)), None),
+            ("bad", "video", bytearray(b"RIFFxxxxAVI "), None)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, modality string, payload binary,"
+        " meta map<string,string>",
+    )
+    probed = {r.media_id: r for r in probe_media(media).collect()}
+    assert probed["v1"].error is None and probed["v1"].n_frames == 25
+    assert probed["bad"].error is not None
+    enriched = media.drop("meta").join(
+        probe_media(media).select(
+            "media_id",
+            F.create_map(F.lit("n_frames"),
+                         F.col("n_frames").cast("string")).alias("meta"),
+        ),
+        "media_id",
+    )
+    got = {(r.media_id, r.frame_idx)
+           for r in frame_sample_plan(enriched, every_n=10).collect()}
+    assert got == {("v1", 0), ("v1", 10), ("v1", 20), ("bad", 0)}
