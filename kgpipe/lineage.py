@@ -108,6 +108,7 @@ def run_with_lineage(
     output_path: str,
     n_buckets: int = 64,
     run_date: dt.datetime | None = None,
+    snapshot: bool = False,
 ) -> DataFrame:
     """Execute *pipeline_fn* over the OUTSTANDING subset only, append results
     to the bucketed output table, and commit one lineage row per processed
@@ -117,11 +118,25 @@ def run_with_lineage(
     concept_id == '__ERROR__' are treated as quarantined failures (written to
     lineage, excluded from output counts).
 
+    ``snapshot=True`` couples the per-bucket commit with an atomic
+    snapshot flip — the reference's data-then-catalog-commit pairing
+    (``RunCatalogAE.java:64-113`` writes each output, then
+    ``Neo4jRunCatalog.java:408-436`` commits it to the catalog) extended
+    with table-level reader isolation: bucket data lands in a run-keyed
+    staging dir under *output_path* (dynamic partition overwrite, so a
+    crashed bucket's replay is idempotent), and only when EVERY input
+    bucket is COMPLETE does the staging dir flip to the next committed
+    ``snap-N`` (kgpipe.triples.finalize_snapshot).  Readers via
+    ``read_triples_snapshot`` see the previous snapshot until the flip;
+    a resumed run recomputes only OUTSTANDING buckets and then commits.
+
     Returns the CURRENT lineage rows for *run_key* (rows appended by this
     invocation included; on a fully-resumed no-op re-run that is the
     existing rows — callers counting appends should diff against a prior
     read, not len() this result).
     """
+    import os
+
     # real wall-clock by default: "latest status wins" (complete_buckets /
     # runs_map max_by) needs run_date to actually order successive runs
     run_date = run_date or dt.datetime.now(dt.timezone.utc)
@@ -129,11 +144,37 @@ def run_with_lineage(
     lineage = read_lineage(spark, lineage_path)
     todo = outstanding(inputs, lineage, run_key)
 
+    if snapshot:
+        from .triples import snapshot_staging_path
+
+        data_path = snapshot_staging_path(output_path, run_key)
+    else:
+        data_path = output_path
+
+    def _commit_if_complete(current: DataFrame) -> None:
+        """Flip the staged snapshot iff every input bucket is COMPLETE.
+        Also recovers a crash BETWEEN the lineage append and the flip:
+        the staging dir is still present, lineage says all-complete, so
+        the rerun's no-op pass finishes the commit."""
+        if not (snapshot and os.path.isdir(data_path)):
+            return
+        missing = (
+            inputs.select("partition_id").distinct()
+            .join(F.broadcast(complete_buckets(current, run_key)),
+                  "partition_id", "left_anti")
+            .limit(1).count()
+        )
+        if missing == 0:
+            from .triples import finalize_snapshot
+
+            finalize_snapshot(spark, output_path, data_path)
+
     # fully-resumed run: nothing OUTSTANDING → skip the whole pipeline
     # (running the detect/disambig/write plans over an empty anti-join
     # still costs seconds of empty-job overhead; one limit(1) probe
     # makes repeat invocations near-free)
     if todo.limit(1).count() == 0:
+        _commit_if_complete(lineage)
         # reuse the exception-guarded read — lineage_path may not exist yet
         # (first run over an empty input)
         return lineage.filter(F.col("run_key") == run_key)
@@ -161,7 +202,7 @@ def run_with_lineage(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
-        .parquet(output_path)
+        .parquet(data_path)
     )
 
     m_turns = (
@@ -200,7 +241,9 @@ def run_with_lineage(
     rows.write.mode("append").parquet(lineage_path)
     mentions.unpersist()
     triples.unpersist()
-    return spark.read.parquet(lineage_path).filter(F.col("run_key") == run_key)
+    current = spark.read.parquet(lineage_path)
+    _commit_if_complete(current)
+    return current.filter(F.col("run_key") == run_key)
 
 
 def remove_run_key(spark: SparkSession, lineage_path: str, run_key: str) -> None:

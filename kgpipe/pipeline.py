@@ -46,9 +46,11 @@ class PipelineConfig:
     # rows to restore a corpus-wide duplicate-annotation removal pass
     assume_unique_turns: bool = True
     max_turns_per_group: Optional[int] = None  # fused-plan mega-conv guard
-    # atomic snapshot-committed sink (triples.write_triples_snapshot):
-    # readers never see partial data; mutually exclusive with per-bucket
-    # lineage resume, which owns its own commit protocol
+    # atomic snapshot-committed sink: readers never see partial data.
+    # Alone → triples.write_triples_snapshot (one-shot commit); combined
+    # with lineage_path → per-bucket resumable staging whose snapshot
+    # flips only when every bucket is COMPLETE (the reference's
+    # data-then-catalog-commit coupling, RunCatalogAE.java:64-113)
     snapshot: bool = False
     # per-ontology ConceptMapper knob overrides (MatchConfig); None → the
     # per-ontology optimized defaults (EntityFinder.java:133-170)
@@ -117,13 +119,6 @@ def run_pipeline(
     # config override applied to only one side silently mismatches the trie
     dictionary = build_dictionary_df(spark, cfg.obo_paths, cfg.detect_configs)
     concept_col = "canonical_id" if cfg.canonical else "concept_id"
-
-    if cfg.snapshot and lineage_path:
-        raise ValueError(
-            "snapshot=True and lineage_path are mutually exclusive: lineage "
-            "resume commits per OUTSTANDING bucket (dynamic partition "
-            "overwrite), the snapshot sink commits whole tables atomically"
-        )
 
     def _write(triples: DataFrame) -> None:
         if cfg.snapshot:
@@ -195,6 +190,7 @@ def run_pipeline(
                 return run_with_lineage(
                     spark, transcripts, _fused_stage, cfg.run_key,
                     lineage_path, output_path, cfg.n_buckets,
+                    snapshot=cfg.snapshot,
                 )
             finally:
                 for df in persisted:
@@ -220,7 +216,7 @@ def run_pipeline(
         if lineage_path:
             return run_with_lineage(
                 spark, transcripts, _stage, cfg.run_key, lineage_path,
-                output_path, cfg.n_buckets,
+                output_path, cfg.n_buckets, snapshot=cfg.snapshot,
             )
         mentions, triples = _stage(transcripts)
         mentions.persist()  # triple fan-out reads mentions multiple times
@@ -267,7 +263,9 @@ def main(argv: Optional[list[str]] = None) -> None:
                          "of the turn")
     ap.add_argument("--snapshot", action="store_true",
                     help="atomic snapshot-committed sink (crash-consistent "
-                         "table commits; excludes --lineage)")
+                         "table commits); with --lineage, buckets stage "
+                         "resumably and the snapshot flips only when all "
+                         "buckets are COMPLETE")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 

@@ -302,12 +302,47 @@ def write_triples(
 _LATEST = "_latest"
 
 
+def _require_local(path: str) -> str:
+    """The snapshot commit protocol drives the pointer flip with local-FS
+    ``os.rename``/``os.replace`` while the data write goes through Spark —
+    on a non-local filesystem (hdfs://, s3a://) the two would silently
+    diverge (staging dir on the driver's disk, data in the object store).
+    Reject any non-file URI scheme loudly; accept and normalize ``file:``
+    URIs.  On a real cluster the same protocol goes through the Iceberg
+    catalog's transactional metadata swap instead of this stand-in."""
+    if "://" in path or path.startswith("file:"):
+        scheme = path.split(":", 1)[0]
+        if scheme != "file":
+            raise ValueError(
+                f"snapshot-committed sinks support local filesystem paths "
+                f"only (got scheme {scheme!r}: {path}); on a cluster use an "
+                f"Iceberg/Hive catalog table, whose metadata commit replaces "
+                f"this local rename protocol"
+            )
+        path = path[len("file://"):] if path.startswith("file://") \
+            else path[len("file:"):]
+    return path
+
+
+def snapshot_staging_path(path: str, run_key: str) -> str:
+    """Staging directory for a lineage-coupled snapshot run: per-bucket
+    resumable writes land here (dynamic partition overwrite), and the
+    directory flips to ``snap-N`` only when every input bucket is COMPLETE
+    (kgpipe.lineage.run_with_lineage(snapshot=True)).  Named by run key so
+    a crashed run's resume finds its own staged buckets."""
+    import os
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", run_key)
+    return os.path.join(_require_local(path), f".staging-{safe}")
+
+
 def committed_snapshot(path: str) -> Optional[str]:
     """Name of the last COMMITTED snapshot directory under ``path`` (the
     ``_latest`` pointer's content), or None if no commit has happened."""
     import os
 
-    ptr = os.path.join(path, _LATEST)
+    ptr = os.path.join(_require_local(path), _LATEST)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
@@ -337,37 +372,62 @@ def write_triples_snapshot(
     rename-based commit here is the local-FS stand-in.  Returns the
     manifest dict (snapshot name, n_triples, per-bucket counts).
     """
+    import os
+    import shutil
+
+    path = _require_local(path)
+    os.makedirs(path, exist_ok=True)
+    prev = committed_snapshot(path)
+    n = int(prev.rsplit("-", 1)[1]) + 1 if prev else 1
+    staging = os.path.join(path, f"snap-{n}.inprogress")
+    if os.path.exists(staging):  # orphan from a previous crashed attempt
+        shutil.rmtree(staging)
+
+    write_triples(triples, staging, n_buckets=n_buckets, mode="overwrite",
+                  layout="clustered")
+    return finalize_snapshot(triples.sparkSession, path, staging)
+
+
+def finalize_snapshot(spark, path: str, staging: str) -> dict:
+    """Atomic commit of a fully-staged snapshot directory: write the
+    ``_manifest.json`` (total + per-bucket row counts, file list) INSIDE
+    the staging dir, rename it to ``path/snap-N`` (N = 1 + last committed,
+    decided at commit time), and flip the ``_latest`` pointer
+    (write-temp + ``os.replace``).  A crash at ANY point leaves ``_latest``
+    on the previous complete snapshot.  Shared by the one-shot
+    ``write_triples_snapshot`` sink and the lineage-coupled resumable sink
+    (kgpipe.lineage.run_with_lineage(snapshot=True))."""
     import json
     import os
     import shutil
 
-    os.makedirs(path, exist_ok=True)
+    path = _require_local(path)
     prev = committed_snapshot(path)
     n = int(prev.rsplit("-", 1)[1]) + 1 if prev else 1
     snap = f"snap-{n}"
-    staging = os.path.join(path, snap + ".inprogress")
     final = os.path.join(path, snap)
-    for d in (staging, final):  # orphans from a previous crashed attempt
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    if os.path.exists(final):  # orphan: committed name never reused
+        shutil.rmtree(final)
 
-    write_triples(triples, staging, n_buckets=n_buckets, mode="overwrite",
-                  layout="clustered")
-    spark = triples.sparkSession
     written = spark.read.parquet(staging)
     per_bucket = {
         str(r["bucket"]): r["n"]
         for r in written.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n")).collect()
     }
+    files = []
+    for root, _dirs, names in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        files.extend(
+            f if rel == "." else os.path.join(rel, f)
+            for f in names if f.endswith(".parquet")
+        )
     manifest = {
         "snapshot": snap,
         "n_triples": sum(per_bucket.values()),
-        "n_buckets": n_buckets,
+        "n_buckets": len(per_bucket),
         "bucket_counts": per_bucket,
-        "files": sorted(
-            f for f in os.listdir(staging) if f.endswith(".parquet")
-        ),
+        "files": sorted(files),
         "parent": prev,
     }
     with open(os.path.join(staging, "_manifest.json"), "w") as fh:
@@ -386,6 +446,7 @@ def read_triples_snapshot(spark, path: str) -> DataFrame:
     table — in-progress/orphaned data is invisible by construction."""
     import os
 
+    path = _require_local(path)
     snap = committed_snapshot(path)
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {path}")

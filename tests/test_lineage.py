@@ -251,6 +251,126 @@ def test_fused_lineage_error_quarantine_and_retry(spark, tmp_path):
     assert clean.exceptAll(got).count() == 0
 
 
+def test_snapshot_lineage_partial_then_resume_atomic(spark, tmp_path):
+    """The unified commit protocol (VERDICT r4 #1): per-bucket resume AND
+    atomic reader visibility together.  A run where one bucket fails mid-
+    job leaves lineage COMPLETE for the finished buckets and data staged —
+    readers still see the OLD snapshot throughout; the resumed run
+    recomputes ONLY the outstanding bucket and flips to a new snapshot
+    bit-identical to a clean single-shot run."""
+    import os
+
+    from kgpipe.triples import (
+        committed_snapshot,
+        read_triples_snapshot,
+        snapshot_staging_path,
+        write_triples_snapshot,
+    )
+
+    tdf = _transcripts(spark)
+    out = str(tmp_path / "tbl")
+    lin = str(tmp_path / "lin")
+
+    # pre-existing committed snapshot (the "old table" readers must keep
+    # seeing until the new run fully commits)
+    _, old_triples = _fake_pipeline(_transcripts(spark, n=5))
+    write_triples_snapshot(old_triples, out, n_buckets=8)
+    assert committed_snapshot(out) == "snap-1"
+    old_rows = sorted(map(tuple, read_triples_snapshot(spark, out)
+                          .select("subj", "pred", "obj").collect()))
+
+    # reference: clean single-shot snapshot+lineage run on a separate table
+    out_clean = str(tmp_path / "tbl_clean")
+    run_with_lineage(spark, tdf, _fake_pipeline, RUN_KEY,
+                     str(tmp_path / "lin_clean"), out_clean, n_buckets=8,
+                     snapshot=True)
+    assert committed_snapshot(out_clean) == "snap-1"
+    want = sorted(map(tuple, read_triples_snapshot(spark, out_clean)
+                      .select("subj", "pred", "obj", "conv_id").collect()))
+
+    # partial run: conv0000's bucket quarantines (the mid-job failure) —
+    # its COMPLETE siblings are staged and committed to lineage, but the
+    # snapshot must NOT flip
+    def _err_pipeline(sub):
+        mentions, triples = _fake_pipeline(sub)
+        mentions = mentions.withColumn(
+            "concept_id",
+            F.when(F.col("conv_id") == "conv0000", F.lit("__ERROR__"))
+            .otherwise(F.col("concept_id")),
+        ).withColumn(
+            "error",
+            F.when(F.col("conv_id") == "conv0000", F.lit("ValueError: bad")),
+        )
+        return mentions, triples
+
+    rows = run_with_lineage(spark, tdf, _err_pipeline, RUN_KEY, lin, out,
+                            n_buckets=8, snapshot=True)
+    assert ERROR in {r.status for r in rows.collect()}
+    staging = snapshot_staging_path(out, RUN_KEY)
+    assert os.path.isdir(staging)                  # data staged
+    assert committed_snapshot(out) == "snap-1"     # pointer untouched
+    assert sorted(map(tuple, read_triples_snapshot(spark, out)
+                      .select("subj", "pred", "obj").collect())) == old_rows
+
+    # resume: ONLY the ERROR bucket's conversations recompute
+    seen_convs: list[int] = []
+
+    def counting_pipeline(sub):
+        seen_convs.append(sub.select("conv_id").distinct().count())
+        return _fake_pipeline(sub)
+
+    run_with_lineage(spark, tdf, counting_pipeline, RUN_KEY, lin, out,
+                     n_buckets=8, snapshot=True)
+    n_all = tdf.select("conv_id").distinct().count()
+    assert len(seen_convs) == 1 and 0 < seen_convs[0] < n_all
+
+    # the flip happened and the committed table is bit-identical to clean
+    assert committed_snapshot(out) == "snap-2"
+    assert not os.path.isdir(staging)
+    got = sorted(map(tuple, read_triples_snapshot(spark, out)
+                     .select("subj", "pred", "obj", "conv_id").collect()))
+    assert got == want
+
+    # fully-resumed no-op re-run: nothing recomputes, pointer stays
+    run_with_lineage(spark, tdf, _fake_pipeline, RUN_KEY, lin, out,
+                     n_buckets=8, snapshot=True)
+    assert committed_snapshot(out) == "snap-2"
+
+
+def test_snapshot_lineage_crash_between_lineage_and_flip(spark, tmp_path,
+                                                         monkeypatch):
+    """Crash AFTER the lineage append but BEFORE the pointer flip: the next
+    (no-op) invocation finds everything COMPLETE with the staging dir still
+    present and finishes the commit."""
+    from kgpipe import triples as triples_mod
+    from kgpipe.triples import committed_snapshot, read_triples_snapshot
+
+    tdf = _transcripts(spark, n=8)
+    out = str(tmp_path / "tbl")
+    lin = str(tmp_path / "lin")
+
+    real_finalize = triples_mod.finalize_snapshot
+
+    def crash_finalize(*a, **kw):
+        raise RuntimeError("simulated crash before pointer flip")
+
+    monkeypatch.setattr(triples_mod, "finalize_snapshot", crash_finalize)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_with_lineage(spark, tdf, _fake_pipeline, RUN_KEY, lin, out,
+                         n_buckets=4, snapshot=True)
+    assert committed_snapshot(out) is None         # no flip happened
+
+    monkeypatch.setattr(triples_mod, "finalize_snapshot", real_finalize)
+    # rerun: nothing OUTSTANDING, but the pending staging dir commits
+    rows = run_with_lineage(spark, tdf, _fake_pipeline, RUN_KEY, lin, out,
+                            n_buckets=4, snapshot=True)
+    assert {r.status for r in rows.collect()} == {COMPLETE}
+    assert committed_snapshot(out) == "snap-1"
+    assert read_triples_snapshot(spark, out).count() > 0
+
+
 def test_fused_rejects_staged_only_options(spark, tmp_path):
     from conftest import MINI_OBO
     from kgpipe.pipeline import PipelineConfig, run_pipeline

@@ -97,8 +97,6 @@ def test_detect_configs_shape_dictionary_and_scan(spark, tmp_path):
 
 
 def test_pipeline_snapshot_sink(spark, tmp_path):
-    import pytest
-
     from kgpipe.triples import committed_snapshot, read_triples_snapshot
 
     tdf, _ = _tdf(spark, n=12)
@@ -111,6 +109,52 @@ def test_pipeline_snapshot_sink(spark, tmp_path):
     # second run commits snap-2; reader follows the pointer
     run_pipeline(spark, tdf, cfg, out)
     assert committed_snapshot(out) == "snap-2"
-    # snapshot + lineage resume are different commit protocols
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        run_pipeline(spark, tdf, cfg, out, str(tmp_path / "lin"))
+
+
+def test_pipeline_snapshot_with_lineage_both_plans(spark, tmp_path):
+    """snapshot=True + lineage_path accepted on BOTH plans: the run stages
+    per-bucket, commits lineage, and flips an atomic snapshot whose content
+    equals the plain (non-snapshot) lineage run."""
+    from kgpipe.triples import committed_snapshot, read_triples_snapshot
+
+    tdf, _ = _tdf(spark, n=12)
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    for fused in (False, True):
+        tag = "fused" if fused else "staged"
+        cfg_plain = PipelineConfig(obo_paths={"CL": MINI_OBO}, n_buckets=4,
+                                   fused=fused)
+        out_plain = str(tmp_path / f"plain_{tag}")
+        run_pipeline(spark, tdf, cfg_plain, out_plain,
+                     str(tmp_path / f"lin_plain_{tag}"))
+        want = sorted(map(tuple,
+                          spark.read.parquet(out_plain).select(*cols).collect()))
+
+        cfg = PipelineConfig(obo_paths={"CL": MINI_OBO}, n_buckets=4,
+                             fused=fused, snapshot=True)
+        out = str(tmp_path / f"snap_{tag}")
+        run_pipeline(spark, tdf, cfg, out, str(tmp_path / f"lin_{tag}"))
+        assert committed_snapshot(out) == "snap-1"
+        got = sorted(map(tuple,
+                         read_triples_snapshot(spark, out)
+                         .select(*cols).collect()))
+        assert got == want
+
+
+def test_snapshot_rejects_remote_scheme(spark, tmp_path):
+    import pytest
+
+    from kgpipe.triples import write_triples_snapshot, snapshot_staging_path
+
+    tdf, _ = _tdf(spark, n=2)
+    with pytest.raises(ValueError, match="local filesystem"):
+        write_triples_snapshot(
+            tdf.selectExpr("conv_id as subj", "'p' as pred", "'o' as obj",
+                           "conv_id", "turn_idx",
+                           "cast(null as struct<begin:int,end:int,text:string>)"
+                           " as evidence"),
+            "hdfs://nn/warehouse/tbl")
+    with pytest.raises(ValueError, match="local filesystem"):
+        snapshot_staging_path("s3a://bucket/tbl", "RUN")
+    # file: URIs normalize instead of raising
+    assert snapshot_staging_path("file://" + str(tmp_path), "RUN").startswith(
+        str(tmp_path))
