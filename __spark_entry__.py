@@ -502,6 +502,77 @@ SELECT q_id, vec_id, rank::int AS rank FROM ranked WHERE rank <= 5
 """
 
 
+def _ivf_centroids_sql(k: int = 8, n_iter: int = 2) -> str:
+    """Unrolled deterministic spherical k-means mirroring
+    kgpipe.similarity.train_centroids_distributed: normalize, init from the
+    k lowest-id vectors, per iteration assign by dot product (ties to the
+    higher cell, matching array_max's struct ordering) and renormalize the
+    element-wise member mean; empty/degenerate cells keep their previous
+    centroid."""
+    parts = [f"""v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+v AS (SELECT vec_id,
+        CASE WHEN sqrt(list_dot_product(e, e)) > 0
+             THEN [x / sqrt(list_dot_product(e, e)) for x in e]
+             ELSE e END AS e
+      FROM v0),
+c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS cell, e AS cv
+       FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k}))"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.cv) DESC, c.cell DESC) AS rn
+    FROM v CROSS JOIN c{t - 1} c) WHERE rn = 1),
+m{t} AS (
+  SELECT cell, i, avg(val) AS mv FROM (
+    SELECT cell, unnest(e) AS val, generate_subscripts(e, 1) AS i FROM a{t})
+  GROUP BY cell, i),
+n{t} AS (
+  SELECT cell, list(mv / nrm ORDER BY i) AS cv FROM (
+    SELECT cell, i, mv, sqrt(sum(mv * mv) OVER (PARTITION BY cell)) AS nrm
+    FROM m{t}) WHERE nrm > 0 GROUP BY cell),
+c{t} AS (SELECT p.cell, coalesce(n{t}.cv, p.cv) AS cv
+         FROM c{t - 1} p LEFT JOIN n{t} ON p.cell = n{t}.cell)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT cell, (i - 1)::int AS i, round(val, 6) AS val FROM (
+  SELECT cell, unnest(cv) AS val, generate_subscripts(cv, 1) AS i
+  FROM c{n_iter})""")
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled dangling-aware power iteration mirroring
+    kgpipe.graph.pagerank (uniform teleport + dangling-mass
+    redistribution over the distinct directed edge set)."""
+    # MATERIALIZED: every r{t} is referenced twice by iteration t+1
+    # (dangling mass + contributions) — inlined CTEs would re-expand the
+    # whole chain exponentially (2^iters scans of the triple derivation)
+    parts = ["""edges AS MATERIALIZED (SELECT DISTINCT subj, obj FROM tri),
+nodes AS MATERIALIZED (
+  SELECT subj AS id FROM edges UNION SELECT obj AS id FROM edges),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+od AS MATERIALIZED (
+  SELECT subj AS id, count(*) AS d FROM edges GROUP BY subj),
+r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""dg{t} AS MATERIALIZED (
+  SELECT coalesce(sum(r.r), 0) AS dm
+  FROM r{t - 1} r LEFT JOIN od ON r.id = od.id WHERE od.d IS NULL),
+cb{t} AS MATERIALIZED (
+  SELECT e.obj AS id, sum(r.r / od.d) AS c
+  FROM edges e JOIN r{t - 1} r ON e.subj = r.id
+  JOIN od ON e.subj = od.id
+  GROUP BY e.obj),
+r{t} AS MATERIALIZED (
+  SELECT n.id,
+         (1 - {damping}) / (SELECT n FROM nn)
+         + {damping} / (SELECT n FROM nn) * (SELECT dm FROM dg{t})
+         + {damping} * coalesce(c.c, 0) AS r
+  FROM nodes n LEFT JOIN cb{t} c ON n.id = c.id)""")
+    return (f"{_SQL_TRIPLES},\n" + ",\n".join(parts)
+            + f"\nSELECT id AS entity, round(r, 6) AS rank FROM r{iters}")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1188,6 +1259,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(e, queries_df, k=5, n_probe=4,
                         centroids=centroids).select("q_id", "vec_id", "rank")
 
+    def q_ivf_centroids(spark, sf_dir):
+        # deterministic DISTRIBUTED k-means trainer (VERDICT r4 #2):
+        # lowest-id init, 2 Lloyd iterations, spherical geometry — the
+        # oracle unrolls the identical iterations in DuckDB SQL and both
+        # sides round the final centroid components to 1e-6
+        from kgpipe.similarity import train_centroids_distributed
+
+        cents = train_centroids_distributed(
+            _emb(spark, sf_dir), n_centroids=8, n_iter=2)
+        rows = [(c, i, float(x)) for c, vec in cents
+                for i, x in enumerate(vec)]
+        return spark.createDataFrame(
+            rows, "cell int, i int, val double"
+        ).select("cell", "i", F.round("val", 6).alias("val"))
+
+    def q_pagerank(spark, sf_dir):
+        # fixed 3 iterations, ranks rounded to 1e-6 (VERDICT r4 #2): the
+        # dangling-aware power iteration is plain relational algebra, so
+        # the oracle unrolls the same 3 updates as DuckDB CTEs
+        from kgpipe.graph import pagerank
+
+        return pagerank(_triples(spark, sf_dir), iters=3).select(
+            "entity", F.round("rank", 6).alias("rank"))
+
     def q_conv_metadata(spark, sf_dir):
         # PmcMetadataImportAE analogue: per-conversation metadata derived
         # from the source table (scalar projection for the hash compare)
@@ -1395,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": q_role_transitions,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_centroids": q_ivf_centroids,
+        "pagerank": q_pagerank,
         "embedding_disambig": q_embedding_disambig,
         "frame_sample": q_frame_sample,
         "conv_metadata": q_conv_metadata,
@@ -2187,7 +2284,7 @@ WITH dims AS (
 SELECT doc_id::varchar AS media_id,
        'pnm' AS format, w AS width, h AS height,
        (length('P5 ' || w::varchar || ' ' || h::varchar || ' 255') + 1
-          + w * h)::int AS n_bytes,
+          + w * h)::bigint AS n_bytes,
        NULL::varchar AS error
 FROM dims""",
         # session-membership triples over the same sessionize window
@@ -2316,6 +2413,8 @@ FROM tc a JOIN tc b
       OR (b.turn_idx = a.turn_idx AND a.concept_id < b.concept_id))""",
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _IVF_TOPK_SQL,
+        "ivf_centroids": _ivf_centroids_sql(),
+        "pagerank": _pagerank_sql(),
         "embedding_disambig": f"""
 WITH {_SQL_MENTIONS.lstrip()},
 emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -2365,7 +2464,7 @@ SELECT conv_id, clean,
 FROM c""",
         "media_features": """
 SELECT doc_id::varchar AS media_id, 'image' AS modality,
-       strlen(text)::int AS n_bytes,
+       strlen(text)::bigint AS n_bytes,
        substr(sha256(text), 1, 32) AS feat_hex
 FROM documents""",
     }

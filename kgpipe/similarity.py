@@ -271,6 +271,92 @@ def pairwise_cosine_dedup(
     )
 
 
+def train_centroids_distributed(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic DISTRIBUTED spherical k-means (Lloyd's) — the
+    100 TB-shaped sibling of ``train_centroids``: the corpus never leaves
+    the cluster; the only driver traffic per iteration is the k×dim mean
+    table (a few KB).
+
+    Deterministic by construction, so it is DuckDB-oracle hashable
+    (VERDICT r4 #2): init = the ``n_centroids`` lowest-id vectors
+    (cell = rank by id); every iteration assigns each (normalized) vector
+    to its nearest centroid by dot product — argmax via ``array_max`` over
+    (sim, cell) structs, ties to the HIGHER cell id — then recomputes each
+    centroid as the renormalized element-wise mean of its members (empty
+    cells keep their previous centroid).  One shuffle per iteration (the
+    (cell, dim) mean aggregation); the assignment itself is a broadcast
+    join + JVM column math, same shape as ``ivf_topk``.
+    """
+    spark = vectors.sparkSession
+    norm = F.sqrt(F.aggregate(
+        F.col("e0"), F.lit(0.0), lambda acc, x: acc + x * x))
+    v = (
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).cast("array<double>").alias("e0"))
+        .select(
+            "vec_id",
+            F.when(norm > 0,
+                   F.transform("e0", lambda x: x / norm))
+            .otherwise(F.col("e0")).alias("e"),
+        )
+        .localCheckpoint(eager=True)  # k-means re-reads the corpus per iter
+    )
+    init_rows = v.sort("vec_id").limit(n_centroids).collect()
+    if not init_rows:
+        raise ValueError("train_centroids_distributed: no vectors")
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["e"])) for i, r in enumerate(init_rows)
+    ]
+    dim = len(cents[0][1])
+
+    def sims_over(vec):
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c["v"], lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ).alias("s"),
+                c["c"].alias("c"),
+            ),
+        )
+
+    for _ in range(n_iter):
+        cent_df = spark.createDataFrame(
+            [([(int(c), [float(x) for x in cv]) for c, cv in cents],)],
+            "cents array<struct<c:int,v:array<double>>>",
+        )
+        assigned = v.join(F.broadcast(cent_df)).select(
+            "e", F.array_max(sims_over(F.col("e")))["c"].alias("cell")
+        )
+        mean_rows = (
+            assigned.select("cell", F.posexplode("e").alias("i", "val"))
+            .groupBy("cell", "i")
+            .agg(F.avg("val").alias("mv"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in mean_rows:
+            by_cell.setdefault(int(r["cell"]), [0.0] * dim)[int(r["i"])] = r["mv"]
+        new_cents = []
+        for c, prev in cents:
+            m = by_cell.get(c)
+            if m is not None:
+                nrm = sum(x * x for x in m) ** 0.5
+                if nrm > 0:
+                    new_cents.append((c, [x / nrm for x in m]))
+                    continue
+            new_cents.append((c, prev))  # empty/degenerate cell: keep
+        cents = new_cents
+    return cents
+
+
 def train_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
