@@ -1,7 +1,7 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow batches.
 
-The IMAGE and AUDIO decode steps are REAL and dependency-free:
+ALL THREE decode steps are REAL and dependency-free:
 
 - image: a pure-numpy parser for the netpbm family (P2/P3 ASCII, P5/P6
   binary) and uncompressed 24/32-bit BMP decodes pixels to a luminance
@@ -11,13 +11,14 @@ The IMAGE and AUDIO decode steps are REAL and dependency-free:
   float32, any channel count, downmixed to mono); the feature vector is
   8 per-segment RMS levels + 8 spectral-band energy fractions (16
   floats in [0, 1]).
-
-VIDEO decoding remains STUBBED (no pyav in this container) —
-``decode_fn`` raises ``NotImplementedError`` for it unless the
-deterministic fake is requested — but the Spark-side plumbing (schema,
-partitioning, ``mapInPandas`` UDF signature, batch shape, per-row error
-quarantine) is identical for every modality, so a pyav-backed decoder
-plugs into the same seam the image and audio decoders occupy.
+- video: a pure-numpy RIFF/AVI parser for uncompressed-DIB streams
+  (``00db``/``00dw`` frames reusing the BMP pixel path), frame-index
+  selectable so ``frame_sample_plan``'s indices drive the decode; the
+  feature vector is the per-frame 4×4 grid averaged over the decoded
+  frames.  Genuinely COMPRESSED codecs (MJPG/H.264/mp4 containers…)
+  would need pyav, absent in this container — those payloads quarantine
+  as per-row ``ValueError`` rows through the same seam a pyav-backed
+  decoder would plug into.
 """
 
 from __future__ import annotations
@@ -44,7 +45,8 @@ FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
         T.StructField("modality", T.StringType(), False),
-        T.StructField("n_bytes", T.IntegerType(), True),
+        # LongType: a single blob may exceed 2 GiB at media scale
+        T.StructField("n_bytes", T.LongType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("error", T.StringType(), True),
     ]
@@ -130,20 +132,128 @@ def _decode_bmp(buf: bytes) -> np.ndarray:
     if w <= 0 or h == 0:
         raise ValueError("bad BMP dimensions")
     bottom_up = h > 0
-    h = abs(h)
+    return _dib_luma(buf, data_off, w, abs(h), bpp, bottom_up)
+
+
+def _dib_luma(buf: bytes, offset: int, w: int, h: int, bpp: int,
+              bottom_up: bool) -> np.ndarray:
+    """Device-independent-bitmap pixel rows (4-byte-aligned stride,
+    BGR(A), bottom-up unless negative height) → luminance plane in
+    [0, 1].  Shared by the BMP decoder and the AVI ``00db`` frame
+    decoder — an uncompressed AVI frame IS a DIB without the file
+    header."""
     bytes_pp = bpp // 8
     stride = (w * bytes_pp + 3) // 4 * 4
-    need = data_off + stride * h
-    if len(buf) < need:
-        raise ValueError("truncated BMP pixel data")
-    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h,
-                         offset=data_off).reshape(h, stride)
+    need = stride * h
+    if len(buf) - offset < need:
+        raise ValueError("truncated DIB pixel data")
+    rows = np.frombuffer(buf, dtype=np.uint8, count=need,
+                         offset=offset).reshape(h, stride)
     px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp).astype(np.float32)
     if bottom_up:
         px = px[::-1]
-    # BMP stores BGR(A)
+    # DIBs store BGR(A)
     lum = px[:, :, 2] * _LUMA[0] + px[:, :, 1] * _LUMA[1] + px[:, :, 0] * _LUMA[2]
     return (lum / 255.0).astype(np.float32)
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Walk the RIFF chunk sequence in ``buf[pos:end]``, yielding
+    ``(chunk_id, body_start, body_size, list_type)`` — ``body_size`` is
+    CLAMPED to the bytes actually present (a truncated payload yields a
+    short final chunk instead of phantom bytes), and ``list_type`` is the
+    4-byte list kind for ``LIST``/``RIFF`` chunks (None otherwise).
+    Structure-aware: stray fourcc byte patterns inside chunk DATA are
+    never misread as chunks."""
+    while pos + 8 <= end:
+        cid = buf[pos:pos + 4]
+        csize = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = pos + 8
+        avail = min(csize, max(0, end - body))
+        ltype = buf[body:body + 4] if cid in (b"LIST", b"RIFF") else None
+        yield cid, body, avail, ltype
+        # chunks are word-aligned: odd sizes carry one pad byte
+        pos = body + csize + (csize & 1)
+
+
+def _parse_avi(payload: bytes) -> tuple[tuple, tuple, list[tuple[int, int]]]:
+    """Parse a RIFF/AVI container: returns ``(avih, vids_strf, frames)``
+    where ``avih`` is the 10-dword main header, ``vids_strf`` the first
+    video stream's BITMAPINFOHEADER fields (or None), and ``frames`` the
+    ``(offset, size)`` list of ``##db``/``##dw`` movi chunks in stream
+    order.  Raises ``ValueError`` if the container or main header is
+    missing/truncated."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    end = min(len(payload), 8 + riff_size)
+    avih = None
+    strf = None
+    frames: list[tuple[int, int]] = []
+    last_stream_type = None
+
+    def walk(pos: int, stop: int, in_movi: bool) -> None:
+        nonlocal avih, strf, last_stream_type
+        for cid, body, size, ltype in _riff_chunks(payload, pos, stop):
+            if cid == b"LIST":
+                walk(body + 4, body + size,
+                     in_movi or ltype in (b"movi", b"rec "))
+            elif cid == b"avih" and size >= 40 and avih is None:
+                avih = struct.unpack_from("<10I", payload, body)
+            elif cid == b"strh" and size >= 4:
+                last_stream_type = payload[body:body + 4]
+            elif cid == b"strf" and size >= 24 and strf is None \
+                    and last_stream_type == b"vids":
+                # biSize, biWidth, biHeight, biPlanes, biBitCount,
+                # biCompression
+                strf = struct.unpack_from("<IiiHHI", payload, body)
+            elif in_movi and len(cid) == 4 and cid[2:] in (b"db", b"dw"):
+                frames.append((body, size))
+
+    walk(12, end, False)
+    if avih is None:
+        raise ValueError("AVI missing avih header")
+    return avih, strf, frames
+
+
+def decode_avi_frames(
+    payload: bytes, frame_indices=None
+) -> list[tuple[int, np.ndarray]]:
+    """Decode selected frames of an uncompressed-DIB AVI to luminance
+    planes: ``[(frame_idx, lum)]``.  ``frame_indices=None`` decodes every
+    frame; pass ``frame_sample_plan``'s indices to decode only the
+    sampled ones (the 100 TB path: header walk + per-selected-frame
+    slices, never the whole stream).  Raises ``ValueError`` for
+    compressed codecs (biCompression != 0 — pyav territory) and
+    truncated/missing frames."""
+    _avih, strf, frames = _parse_avi(payload)
+    if strf is None:
+        raise ValueError("AVI has no video (vids) stream header")
+    _, w, h, _planes, bpp, compression = strf
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported AVI codec (bpp={bpp}, compression={compression});"
+            " only uncompressed DIB streams decode without video libs"
+        )
+    if w <= 0 or h == 0:
+        raise ValueError("bad AVI frame dimensions")
+    bottom_up = h > 0
+    h = abs(h)
+    if frame_indices is None:
+        frame_indices = range(len(frames))
+    out: list[tuple[int, np.ndarray]] = []
+    for idx in frame_indices:
+        idx = int(idx)
+        if not 0 <= idx < len(frames):
+            raise ValueError(
+                f"frame index {idx} out of range (AVI has {len(frames)}"
+                " movi frames)"
+            )
+        off, size = frames[idx]
+        lum = _dib_luma(payload[:off + size], off, w, h, bpp, bottom_up)
+        out.append((idx, lum))
+    return out
 
 
 def grid_features(lum: np.ndarray, grid: int = _GRID) -> list[float]:
@@ -255,9 +365,12 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 
 def decode_fn(payload: bytes, modality: str, fake: bool = False) -> list[float]:
     """The pluggable decode step.  Images (netpbm/BMP via ``decode_image``
-    + ``grid_features``) and audio (RIFF/WAVE via ``decode_wav`` +
-    ``audio_features``) decode for real; a video decoder (pyav) is NOT
-    available in this container — STUB."""
+    + ``grid_features``), audio (RIFF/WAVE via ``decode_wav`` +
+    ``audio_features``) and video (uncompressed-DIB AVI via
+    ``decode_avi_frames``; feature = per-frame grid features averaged
+    over all frames) decode for real.  Compressed video codecs raise
+    ``ValueError`` (quarantined per row by ``extract_features``) — a
+    pyav-backed decoder would extend this same dispatch."""
     if fake:
         return _fake_decode_features(payload)
     if modality == "image":
@@ -265,10 +378,13 @@ def decode_fn(payload: bytes, modality: str, fake: bool = False) -> list[float]:
     if modality == "audio":
         mono, _ = decode_wav(payload)
         return audio_features(mono)
-    raise NotImplementedError(
-        f"real {modality} decoding requires video libs not present in "
-        "this environment; pass fake=True for the deterministic stand-in"
-    )
+    if modality == "video":
+        decoded = decode_avi_frames(payload)
+        if not decoded:
+            raise ValueError("AVI contains no movi frames")
+        feats = np.mean([grid_features(lum) for _, lum in decoded], axis=0)
+        return [float(v) for v in feats]
+    raise ValueError(f"unknown modality {modality!r}")
 
 
 def extract_features(media: DataFrame, fake: bool = True,
@@ -312,10 +428,12 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
-        T.StructField("n_frames", T.IntegerType(), True),
+        # LongType: >2 GiB blobs / >2^31 audio frames are plausible at
+        # media scale
+        T.StructField("n_frames", T.LongType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("n_channels", T.IntegerType(), True),
-        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
         T.StructField("error", T.StringType(), True),
     ]
 )
@@ -346,17 +464,18 @@ def probe_payload(payload: bytes) -> dict:
         return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         block_align = data_size = 0
-        pos, n = 12, len(payload)
-        while pos + 8 <= n:
-            cid = payload[pos:pos + 4]
-            csize = struct.unpack_from("<I", payload, pos + 4)[0]
-            if cid == b"fmt " and pos + 8 + 16 <= n:
+        n = len(payload)
+        for cid, body, size, _ in _riff_chunks(payload, 12, n):
+            if cid == b"fmt " and size >= 16:
                 _, ch, rate, _, block_align, _ = struct.unpack_from(
-                    "<HHIIHH", payload, pos + 8)
+                    "<HHIIHH", payload, body)
                 out.update(sample_rate=int(rate), n_channels=int(ch))
             elif cid == b"data":
-                data_size = csize
-            pos += 8 + csize + (csize & 1)
+                # _riff_chunks clamps size to the bytes actually present,
+                # so a truncated payload never advertises frames (and
+                # frame/sample plans built on n_frames never reference
+                # samples) that don't exist
+                data_size = size
         if out["sample_rate"] is None:
             raise ValueError("WAV missing fmt chunk")
         out["format"] = "wav"
@@ -365,12 +484,11 @@ def probe_payload(payload: bytes) -> dict:
             out["n_frames"] = int(data_size // block_align)
         return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        idx = payload.find(b"avih")
-        if idx < 0 or idx + 8 + 40 > len(payload):
-            raise ValueError("AVI missing avih header")
-        f = struct.unpack_from("<10I", payload, idx + 8)
-        out.update(format="avi", n_frames=int(f[4]),
-                   width=int(f[8]), height=int(f[9]))
+        # structure-aware header walk (never matches stray 'avih' byte
+        # patterns inside unrelated chunk data)
+        avih, _strf, _frames = _parse_avi(payload)
+        out.update(format="avi", n_frames=int(avih[4]),
+                   width=int(avih[8]), height=int(avih[9]))
         return out
     raise ValueError(f"unknown media container (magic {payload[:4]!r})")
 

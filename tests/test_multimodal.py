@@ -23,14 +23,15 @@ def _media(spark):
 
 
 def test_decode_dispatch_without_fake():
-    # images and audio decode for real now: bad bytes are a decode ERROR
+    # all three modalities decode for real now: bad bytes are a decode ERROR
     with pytest.raises(ValueError):
         decode_fn(b"\x89PNG not supported", "image", fake=False)
     with pytest.raises(ValueError):
         decode_fn(b"RIFF", "audio", fake=False)
-    # video decoder genuinely absent: still the declared stub
-    with pytest.raises(NotImplementedError):
-        decode_fn(b"x", "video", fake=False)
+    with pytest.raises(ValueError):
+        decode_fn(b"x", "video", fake=False)  # not a RIFF/AVI container
+    with pytest.raises(ValueError):
+        decode_fn(b"mp4 would need pyav", "video", fake=False)
 
 
 def _ppm_p6(arr):
@@ -210,8 +211,8 @@ def test_extract_features_quarantines_per_row(spark):
     assert "unsupported image format" in out["m1"].error
     # audio with truncated bytes: real decode error, quarantined
     assert "truncated" in out["m2"].error
-    # video: the remaining declared stub, quarantined
-    assert "decoding requires" in out["m3"].error
+    # video with no payload: real container-parse error, quarantined
+    assert "not a RIFF/AVI payload" in out["m3"].error
 
 
 def test_frame_sample_plan(spark):
@@ -230,6 +231,111 @@ def _avi(width, height, n_frames, usec_per_frame=40000):
     hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
     lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
     return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+def _avi_dib(frames, bpp=24, compression=0, extra_movi=b""):
+    """Full RIFF/AVI with an uncompressed-DIB vids stream: hdrl (avih +
+    strl(strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) + movi with one
+    ``00db`` chunk per (h, w, 3) uint8 RGB frame (bottom-up BGR rows,
+    4-byte-aligned stride)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = np.asarray(frames[0]).shape
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<14I", 40000, 0, 0, 0, len(frames), 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + struct.pack("<12I", *([0] * 12))
+    strf = struct.pack("<IiiHHI", 40, w, h, 1, bpp, compression) + b"\x00" * 16
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    stride = (w * (bpp // 8) + 3) // 4 * 4
+    movi_body = extra_movi
+    for fr in frames:
+        fr = np.asarray(fr, dtype=np.uint8)
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for x in range(w):
+                row += bytes((int(fr[y, x, 2]), int(fr[y, x, 1]),
+                              int(fr[y, x, 0])))
+                if bpp == 32:
+                    row += b"\xff"
+            row += b"\x00" * (stride - len(row))
+            rows.append(bytes(row))
+        movi_body += chunk(b"00db", b"".join(rows))
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_avi_frames_real():
+    import numpy as np
+
+    from kgpipe.multimodal import decode_avi_frames, decode_fn, grid_features
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+              for _ in range(3)]
+    payload = _avi_dib(frames)
+
+    decoded = decode_avi_frames(payload)
+    assert [i for i, _ in decoded] == [0, 1, 2]
+    for (_, lum), fr in zip(decoded, frames):
+        want = (fr @ np.array([0.299, 0.587, 0.114])) / 255.0
+        assert lum.shape == (6, 5)
+        assert np.allclose(lum, want, atol=1.5 / 255)
+
+    # selected frame indices decode in the order given (the
+    # frame_sample_plan wiring)
+    sel = decode_avi_frames(payload, [2, 0])
+    assert [i for i, _ in sel] == [2, 0]
+    assert np.allclose(sel[0][1], decoded[2][1])
+
+    # real video feature = per-frame grid features averaged
+    feats = decode_fn(payload, "video", fake=False)
+    want = np.mean([grid_features(lum) for _, lum in decoded], axis=0)
+    assert len(feats) == FEATURE_DIM and np.allclose(feats, want)
+
+    # 32-bit DIB frames decode too
+    f32 = decode_avi_frames(_avi_dib(frames, bpp=32))
+    assert np.allclose(f32[0][1], decoded[0][1], atol=1.5 / 255)
+
+    # compressed codec: honest quarantine, not a wrong decode
+    with pytest.raises(ValueError, match="unsupported AVI codec"):
+        decode_avi_frames(_avi_dib(frames, compression=1))
+    # out-of-range sample index
+    with pytest.raises(ValueError, match="out of range"):
+        decode_avi_frames(payload, [3])
+    # truncated final frame: clamped chunk -> truncated DIB error
+    with pytest.raises(ValueError, match="truncated DIB"):
+        decode_avi_frames(payload[:-20], [2])
+
+
+def test_extract_features_real_video_end_to_end(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+              for _ in range(2)]
+    rows = [("v1", "video", bytearray(_avi_dib(frames)), None),
+            ("v2", "video", bytearray(_avi_dib(frames, compression=1)), None)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, modality string, payload binary,"
+        " meta map<string,string>",
+    )
+    out = {r.media_id: r for r in extract_features(media, fake=False).collect()}
+    assert out["v1"].error is None and len(out["v1"].feature) == FEATURE_DIM
+    assert out["v2"].feature is None  # compressed: quarantined row
+    assert "unsupported AVI codec" in out["v2"].error
 
 
 def test_probe_payload_formats():
@@ -256,6 +362,40 @@ def test_probe_payload_formats():
         probe_payload(b"\x00" * 32)
     with pytest.raises(ValueError):
         probe_payload(b"RIFF\x00\x00\x00\x00AVI x")  # no avih
+
+
+def test_probe_wav_truncated_clamps_n_frames():
+    """ADVICE r4: a truncated WAV must not advertise frames that are not
+    present — n_frames derives from the clamped data-chunk bytes."""
+    import numpy as np
+
+    from kgpipe.multimodal import probe_payload
+
+    wav = _wav(np.zeros(1000), sr=8000, bits=16, channels=2)
+    full = probe_payload(wav)
+    assert full["n_frames"] == 1000
+    # cut half the data chunk (declared size stays 4000 bytes)
+    cut = wav[: len(wav) - 2000]
+    p = probe_payload(cut)
+    assert p["n_frames"] == 500  # bytes actually present / block_align
+
+
+def test_probe_avi_ignores_stray_avih_in_chunk_data():
+    """ADVICE r4: the AVI probe walks RIFF structure — a stray 'avih' byte
+    pattern inside unrelated chunk DATA must not be parsed as the header."""
+    import struct
+
+    import numpy as np
+
+    from kgpipe.multimodal import probe_payload
+
+    frames = [np.zeros((4, 4, 3), dtype=np.uint8)]
+    # a junk movi chunk whose data embeds 'avih' + bogus dwords BEFORE the
+    # real frames; the real avih (4x4, 1 frame) sits in hdrl
+    junk = (b"99tx" + struct.pack("<I", 48)
+            + b"avih" + struct.pack("<11I", *([7] * 11)))
+    p = probe_payload(_avi_dib(frames, extra_movi=junk))
+    assert (p["width"], p["height"], p["n_frames"]) == (4, 4, 1)
 
 
 def test_probe_media_feeds_frame_sample_plan(spark):
