@@ -150,6 +150,58 @@ def mayla_keep_py(
     return freq >= thr or surface == canonical
 
 
+def mayla_conv_freq_filter(
+    mentions: DataFrame,
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    concept_freq: int | dict[str, int],
+    default_freq: int = 1,
+) -> DataFrame:
+    """Exact conversation-scope Mayla frequency filter via a
+    PRE-AGGREGATED per-(conversation, surface) frequency side table —
+    identical keep semantics to ``mayla_filter(freq_scope='conversation')``
+    but WITHOUT ever assembling a conversation's full text in one task:
+    detected surfaces join back to the conversation's turns, each turn
+    contributes its JVM substring count, and the counts sum per
+    conversation.  Per-task state is a running sum, so an adversarial
+    mega-conversation costs shuffle rows, not memory — the side-table
+    shape the fused split plan needs for exact conv-scope scoring
+    (VERDICT r4 #4).
+
+    Exactness vs the joined-text count: conversation text is turns joined
+    with ``\\n``, and dictionary surfaces never contain a newline, so no
+    occurrence spans a turn boundary — the per-turn sum IS the whole-text
+    count (``MaylaPostProcessingComponent.java:115`` counts over the full
+    document text)."""
+    surf = mentions.select("conv_id", "covered_text").distinct()
+    per_turn = surf.join(
+        transcripts.select("conv_id", "text"), "conv_id"
+    ).select(
+        "conv_id", "covered_text",
+        _substring_count(F.col("text"), F.col("covered_text")).alias("c"),
+    )
+    freq = per_turn.groupBy("conv_id", "covered_text").agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__freq")
+    )
+    canon = dictionary.select("concept_id", "canonical").dropDuplicates(
+        ["concept_id"])
+    m = (
+        mentions.join(freq, ["conv_id", "covered_text"], "left")
+        .join(F.broadcast(canon), "concept_id", "left")
+    )
+    if isinstance(concept_freq, dict):
+        pairs = [x for kv in sorted(concept_freq.items()) for x in kv]
+        thr = F.coalesce(
+            F.create_map(*[F.lit(x) for x in pairs])[F.col("ontology")],
+            F.lit(default_freq),
+        )
+    else:
+        thr = F.lit(concept_freq)
+    keep = (F.coalesce("__freq", F.lit(0)) >= thr) | (
+        F.col("covered_text") == F.col("canonical"))
+    return m.filter(keep).select(*mentions.columns)
+
+
 # per-namespace frequency thresholds (MaylaPostProcessingComponent.java:151-181)
 MAYLA_CONCEPT_FREQ: dict[str, int] = {
     "CHEBI": 4, "PR": 40, "FUNK_GO_MF": 1, "FUNK_GO_BP": 20, "FUNK_GO_CC": 15,

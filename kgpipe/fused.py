@@ -26,6 +26,12 @@ Trade-offs vs the staged path (kgpipe.pipeline):
   turn-index blocks (ghost-replicated at the boundary so windowed
   co-occurrence stays exact; offsets are turn-relative so splitting is
   safe) and bounds per-task state for adversarial mega-conversations.
+  When splitting meets conversation-LEVEL scoring (TF disambiguation or
+  conv-scope Mayla frequency), the plan auto-switches to
+  ``_exact_conv_plan`` — pre-aggregated per-conversation side tables
+  joined onto a narrow detect scan — so the skew guard no longer changes
+  semantics (``exact_conv_scores=False`` restores the one-shuffle
+  block-local approximation).
 
 At 1000 executors this is the plan you want: shuffle bytes ≈ input bytes,
 exactly once, no barrier between per-conversation products.
@@ -68,6 +74,111 @@ def _concept_uri(cid: str) -> str:
     return OBO_PREFIX + cid.replace(":", "_")
 
 
+def conv_tf_disambiguate(mentions: DataFrame) -> DataFrame:
+    """Conversation-level TF disambiguation — the declarative twin of the
+    fused scan's in-Python rule (keep the span candidate with the highest
+    conversation-level mention frequency, ties to the smaller concept id).
+    ONE conv_id exchange; both windows ride it (same shape as
+    disambig.tfidf_disambiguate minus the IDF broadcasts)."""
+    from pyspark.sql import Window
+
+    from .session import cpu_partition_count
+
+    m = mentions.repartition(
+        cpu_partition_count(mentions.sparkSession), "conv_id")
+    w_tf = Window.partitionBy("conv_id", "concept_id")
+    w = Window.partitionBy("conv_id", "turn_idx", "begin", "end").orderBy(
+        F.desc("__tf"), F.asc("concept_id"))
+    return (
+        m.withColumn("__tf", F.count(F.lit(1)).over(w_tf))
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") == 1)
+        .drop("__rank", "__tf")
+    )
+
+
+def _exact_conv_plan(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    configs,
+    cooc_window: int,
+    disambiguate: bool,
+    canonical: bool,
+    quarantine_errors: bool,
+    cache_registry: Optional[list],
+    mayla: bool,
+    mayla_concept_freq,
+    mayla_default_freq: int,
+    mayla_freq_scope: str,
+) -> DataFrame:
+    """EXACT conversation-scope scoring under block splitting (VERDICT r4
+    #4): instead of block-local in-scan Mayla/TF, the detect scan stays
+    NARROW (no pre-shuffle, no ghosts) and the conversation-level scores
+    come from pre-aggregated side tables joined back onto the mention
+    stream —
+
+    - Mayla conv frequency: per-(conv, surface) substring-count sums
+      (disambig.mayla_conv_freq_filter; never assembles conversation text
+      in one task);
+    - TF disambiguation: a (conv, concept) window count + span argmax on
+      one conv_id exchange (conv_tf_disambiguate);
+    - co-occurrence: the banded (conv, turn-bucket) equi-join
+      (triples.cooccurrence_pairs), not an in-task pair walk.
+
+    Semantics are identical to the UNSPLIT fused plan for any
+    ``max_turns_per_group`` (test-asserted), and per-task state is bounded
+    by block/window density everywhere, so the skew guard no longer trades
+    correctness.  Errors quarantine PER TURN (detect row quarantine); with
+    ``quarantine_errors=False`` error rows are dropped from the output
+    (the in-scan plan would instead fail the job)."""
+    from .canon import canonicalize_with_map, components_from_rows
+    from .detect import collect_dictionary, detect_mentions
+    from .disambig import mayla_conv_freq_filter, mayla_filter
+    from .triples import cooccurrence_triples, mention_triples
+
+    rows = collect_dictionary(dictionary)
+    raw = detect_mentions(transcripts, dictionary, configs,
+                          local_rows=rows).persist()
+    if cache_registry is not None:
+        cache_registry.append(raw)
+    errors = raw.filter(F.col("concept_id") == "__ERROR__")
+    ok = raw.filter(F.col("concept_id") != "__ERROR__")
+    if mayla:
+        if (mayla_freq_scope == "conversation"
+                and mayla_concept_freq is not None):
+            ok = mayla_conv_freq_filter(
+                ok, transcripts, dictionary, mayla_concept_freq,
+                mayla_default_freq)
+        else:
+            ok = mayla_filter(ok, transcripts, dictionary,
+                              mayla_concept_freq,
+                              default_freq=mayla_default_freq,
+                              freq_scope="turn")
+    if disambiguate:
+        ok = conv_tf_disambiguate(ok)
+    concept_col = "concept_id"
+    if canonical:
+        ok = canonicalize_with_map(ok, components_from_rows(rows))
+        concept_col = "canonical_id"
+    result = (
+        mention_triples(ok, concept_col)
+        .unionByName(cooccurrence_triples(ok, cooc_window, concept_col))
+        .unionByName(conversation_triples(transcripts))
+    )
+    if quarantine_errors:
+        err_rows = errors.select(
+            F.concat(F.lit(CONV_NS), F.col("conv_id")).alias("subj"),
+            F.lit(ERROR_PRED).alias("pred"),
+            F.col("error").alias("obj"),
+            "conv_id",
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.lit(None).cast("struct<begin:int,end:int,text:string>")
+            .alias("evidence"),
+        )
+        result = result.unionByName(err_rows)
+    return result
+
+
 def fused_conv_triples(
     transcripts: DataFrame,
     dictionary: DataFrame,
@@ -82,6 +193,7 @@ def fused_conv_triples(
     mayla_concept_freq: Optional[int | dict] = None,
     mayla_default_freq: int = 1,
     mayla_freq_scope: str = "turn",
+    exact_conv_scores: Optional[bool] = None,
 ) -> DataFrame:
     """transcripts → full triple set with one shuffle (see module doc).
 
@@ -95,13 +207,40 @@ def fused_conv_triples(
     are replicated into the previous block as *ghost* rows (they
     contribute pair partners but no structure/denotes output), every pair
     is counted in the home block of its earlier turn, and the per-block
-    pair lists are deduplicated conversation-wide afterwards.  With
-    ``disambiguate=True`` the TF table is block-local, so a span-ambiguous
-    GHOST mention may resolve differently in its ghost block than in its
-    home block and boundary pairs can diverge from the unsplit plan —
-    corpus/conversation-level scoring belongs to the staged path (see
-    trade-offs above).
+    pair lists are deduplicated conversation-wide afterwards.
+
+    ``exact_conv_scores`` governs conversation-LEVEL scoring under
+    splitting.  Default (None = auto): when ``max_turns_per_group`` is set
+    together with ``disambiguate=True`` or conversation-scope Mayla
+    frequency, the plan switches to ``_exact_conv_plan`` — side-table
+    scoring joined onto a narrow detect scan — whose output is IDENTICAL
+    to the unsplit fused plan at any block size (test-asserted), at the
+    cost of the banded co-occurrence join instead of the in-task pair
+    walk.  ``False`` forces the historical block-local in-scan scoring
+    (one shuffle, documented approximation: a span-ambiguous GHOST
+    mention may resolve differently per block); ``True`` forces the
+    side-table plan even without splitting.
     """
+    if mayla_freq_scope not in ("turn", "conversation"):
+        raise ValueError(
+            f"mayla_freq_scope must be 'turn' or 'conversation', "
+            f"got {mayla_freq_scope!r}"
+        )
+    if max_turns_per_group is not None and max_turns_per_group < cooc_window:
+        raise ValueError("max_turns_per_group must be >= cooc_window")
+    if exact_conv_scores is None:
+        exact_conv_scores = (
+            max_turns_per_group is not None
+            and (disambiguate
+                 or (mayla and mayla_freq_scope == "conversation"
+                     and mayla_concept_freq is not None))
+        )
+    if exact_conv_scores:
+        return _exact_conv_plan(
+            transcripts, dictionary, configs, cooc_window, disambiguate,
+            canonical, quarantine_errors, cache_registry, mayla,
+            mayla_concept_freq, mayla_default_freq, mayla_freq_scope,
+        )
     spark = transcripts.sparkSession
     rows = collect_dictionary(dictionary)
     tries = build_tries(rows, configs)
@@ -114,13 +253,8 @@ def fused_conv_triples(
     # rides the existing broadcast.
     # freq_scope='conversation' counts the surface over the WHOLE group's
     # text (the reference's document granularity) — free here because the
-    # group IS the conversation; in split mode the count is block-local
-    # (same documented divergence as block-local TF disambiguation).
-    if mayla_freq_scope not in ("turn", "conversation"):
-        raise ValueError(
-            f"mayla_freq_scope must be 'turn' or 'conversation', "
-            f"got {mayla_freq_scope!r}"
-        )
+    # group IS the conversation; in split mode (exact_conv_scores=False)
+    # the count is block-local over the block's own non-ghost turns.
     mayla_cfg = None
     if mayla:
         canon_label: dict = {}
@@ -129,9 +263,6 @@ def fused_conv_triples(
         mayla_cfg = (mayla_concept_freq, mayla_default_freq, canon_label,
                      mayla_freq_scope == "conversation")
     bc = spark.sparkContext.broadcast((tries, comp_map, mayla_cfg))
-    if max_turns_per_group is not None and max_turns_per_group < cooc_window:
-        raise ValueError("max_turns_per_group must be >= cooc_window")
-
     block_size = max_turns_per_group
 
     def _process_conv(conv_id, block, turns, emit, tries_l, comp,
@@ -156,14 +287,18 @@ def fused_conv_triples(
         seen: set = set()
         # conversation-scope Mayla frequency text: the group's turns
         # joined in (turn_idx, text) order — identical to the staged
-        # mayla_filter(freq_scope='conversation') aggregate (block-local
-        # under max_turns_per_group, like TF disambiguation)
+        # mayla_filter(freq_scope='conversation') aggregate when the group
+        # IS the conversation.  Under max_turns_per_group (reachable only
+        # via exact_conv_scores=False — the auto default routes conv-scope
+        # splitting to _exact_conv_plan) the count is block-local over the
+        # block's OWN turns: ghost rows are excluded so boundary text is
+        # never double-counted.
         conv_text = None
         if mcfg is not None and mcfg[3]:
             conv_text = "\n".join(
                 t for _, t, _ in sorted(
                     (ti, text, g) for ti, text, g in turns
-                    if text is not None
+                    if not g and text is not None
                     and not (isinstance(text, float) and pd.isna(text))
                 )
             )

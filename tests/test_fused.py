@@ -221,6 +221,140 @@ def test_fused_block_split_matches_unsplit(spark):
     assert u == s, (sorted(u - s)[:3], sorted(s - u)[:3])
 
 
+def test_fused_split_exact_tf_matches_unsplit(spark):
+    """VERDICT r4 #4: max_turns_per_group must not change TF-disambiguation
+    semantics — the auto exact-conv-scores plan makes split+disambiguate
+    IDENTICAL to the unsplit fused plan (previously a documented
+    divergence)."""
+    # span-ambiguous 'shared gadget' (SYN:0000001 vs SYN:0000002) in block
+    # 0, with ALL the unambiguous TF evidence for SYN:0000002 ('type 2
+    # widget') in blocks 1-2: conversation-level TF resolves the ambiguous
+    # span to SYN:0000002, which a block-local count cannot see.
+    # canonical=False so the winning concept stays observable (the two
+    # SYN concepts share a synonym and would merge under canonicalization)
+    def text_of(t):
+        if t == 2:
+            return "a shared gadget appears"
+        # evidence sits in blocks 1-2 and OFF the ghost boundary (block 0's
+        # ghosts are turns 5-7), so the block-local plan cannot see it
+        if t in (8, 11, 13):
+            return "the type 2 widget returns"
+        return "filler text only"
+
+    extra = [(f"amb{i}", t, "user", text_of(t), None, None)
+             for i in range(3) for t in range(16)]
+    rows, _ = generate_transcripts(n_convs=15, seed=21)
+    tdf = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+         for r in rows] + extra,
+        T_SCHEMA,
+    )
+    ddf = build_dictionary_df(spark, {"SYN": MINI_OBO})
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "evidence"]
+
+    kw = dict(cooc_window=3, disambiguate=True, canonical=False)
+    unsplit = {tuple(r) for r in
+               fused_conv_triples(tdf, ddf, **kw).select(*cols).collect()}
+    split_exact = {tuple(r) for r in
+                   fused_conv_triples(tdf, ddf, max_turns_per_group=5, **kw)
+                   .select(*cols).collect()}
+    assert split_exact == unsplit, (
+        sorted(unsplit - split_exact)[:3], sorted(split_exact - unsplit)[:3])
+    amb_obj = {r[2] for r in split_exact
+               if r[3] == "amb0" and r[4] == 2
+               and r[1] == "http://purl.org/kgpipe/denotes"}
+    assert amb_obj == {"http://purl.obolibrary.org/obo/SYN_0000002"}
+
+    # the block-local opt-out still exists — and on this corpus it makes
+    # the documented approximation visible (tf tie in block 0 → min id)
+    block_local = {tuple(r) for r in
+                   fused_conv_triples(tdf, ddf, max_turns_per_group=5,
+                                      exact_conv_scores=False, **kw)
+                   .select(*cols).collect()}
+    bl_obj = {r[2] for r in block_local
+              if r[3] == "amb0" and r[4] == 2
+              and r[1] == "http://purl.org/kgpipe/denotes"}
+    assert bl_obj == {"http://purl.obolibrary.org/obo/SYN_0000001"}
+
+
+def test_fused_split_exact_mayla_conv_scope_matches_unsplit(spark):
+    """Conversation-scope Mayla frequency under block splitting: the
+    side-table plan reproduces the unsplit fused output exactly, even when
+    a surface's frequency evidence lives entirely in OTHER blocks."""
+    # 'nerve cell' once per turn across 6 turns: conv freq 6 >= 2 keeps it,
+    # but any block-local count at block size 5 would see freq 1 in the
+    # lone block-1 turn
+    tdf = spark.createDataFrame(
+        [("s1", t, "user", f"turn {t} with a nerve cell inside", None, None)
+         for t in range(6)]
+        + [("s2", 0, "user", "one interneurone only", None, None)],
+        T_SCHEMA,
+    )
+    ddf = build_dictionary_df(spark, {"CL": MINI_OBO})
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "evidence"]
+
+    kw = dict(cooc_window=3, disambiguate=False, mayla=True,
+              mayla_concept_freq=2, mayla_freq_scope="conversation")
+    unsplit = {tuple(r) for r in
+               fused_conv_triples(tdf, ddf, **kw).select(*cols).collect()}
+    split_exact = {tuple(r) for r in
+                   fused_conv_triples(tdf, ddf, max_turns_per_group=5, **kw)
+                   .select(*cols).collect()}
+    assert split_exact == unsplit, (
+        sorted(unsplit - split_exact)[:3], sorted(split_exact - unsplit)[:3])
+    # all six one-per-turn mentions survive (conv freq 6 >= 2) — including
+    # the turn-5 mention whose frequency evidence lives in block 0
+    denotes = {(r[3], r[4]) for r in split_exact
+               if r[1] == "http://purl.org/kgpipe/denotes"}
+    assert denotes == {("s1", t) for t in range(6)}
+
+
+def test_fused_exact_plan_quarantines_per_turn(spark, tmp_path):
+    """Exact split plan + lineage: a failing detect config quarantines and
+    the ERROR bucket retries to the clean output (the pipeline wiring of
+    _exact_conv_plan's ERROR_PRED rows)."""
+    from kgpipe.lineage import COMPLETE
+    from kgpipe.normalize import MatchConfig
+    from kgpipe.pipeline import PipelineConfig, run_pipeline
+    from pyspark.sql import functions as F
+
+    rows, _ = generate_transcripts(n_convs=10, seed=9)
+    tdf = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+         for r in rows],
+        T_SCHEMA,
+    )
+    bogus = MatchConfig(
+        search_strategy="BOGUS", case_match="CASE_INSENSITIVE",
+        stemmer="NONE", stopwords="NONE", order_independent=False,
+        find_all_matches=False, synonym_type="ALL",
+    )
+    out = str(tmp_path / "triples")
+    lin = str(tmp_path / "lineage")
+    cfg_err = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True,
+                             disambiguate=True, n_buckets=4,
+                             max_turns_per_group=5,
+                             detect_configs={"CL": bogus})
+    errs = run_pipeline(spark, tdf, cfg_err, out, lineage_path=lin)
+    assert {r.status for r in errs.collect()} == {"ERROR"}
+
+    cfg_ok = PipelineConfig(obo_paths={"CL": MINI_OBO}, fused=True,
+                            disambiguate=True, n_buckets=4,
+                            max_turns_per_group=5)
+    rows2 = run_pipeline(spark, tdf, cfg_ok, out, lineage_path=lin)
+    latest = (rows2.groupBy("partition_id")
+              .agg(F.max_by("status", "run_date").alias("status")))
+    assert {r.status for r in latest.collect()} == {COMPLETE}
+
+    out_clean = str(tmp_path / "clean")
+    run_pipeline(spark, tdf, cfg_ok, out_clean)
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "evidence"]
+    clean = spark.read.parquet(out_clean).select(*cols)
+    got = spark.read.parquet(out).select(*cols)
+    assert got.exceptAll(clean).count() == 0
+    assert clean.exceptAll(got).count() == 0
+
+
 def test_fused_block_split_requires_window_fit(spark):
     tdf = spark.createDataFrame(
         [("c1", 0, "user", "x", None, None)], T_SCHEMA
