@@ -221,6 +221,7 @@ def pack_sequences(
     n_shard_hex: int = 2,
     text: str = "text",
     key: str = "doc_id",
+    tokens_fn=None,
 ) -> DataFrame:
     """GPT-style sequence packing plan: concatenate documents in a
     deterministic order and cut every ``budget`` tokens, reporting for
@@ -244,6 +245,12 @@ def pack_sequences(
     Empty documents (0 tokens) occupy no span; they are assigned the
     sequence at their offset with ``seq_last = seq_first`` so row count
     is preserved for auditing.
+
+    ``tokens_fn`` (text-column-name → array<string> Column) plugs in the
+    token budget's unit: default whitespace ``tokens_col``; pass
+    ``textops.subword_tokens_col`` — or a real-BPE column builder — to
+    budget model tokens instead of words.  The packing plan itself is
+    tokenizer-agnostic (only ``size(tokens_fn(text))`` enters the cumsum).
     """
     from pyspark.sql import Window
 
@@ -260,7 +267,7 @@ def pack_sequences(
     staged = df.select(
         F.col(key).alias("doc_id"),
         shard.alias("shard"),
-        F.size(tokens_col(text)).alias("n_tokens"),
+        F.size((tokens_fn or tokens_col)(text)).alias("n_tokens"),
     ).withColumn("cum", F.sum("n_tokens").over(w))
     off = F.col("cum") - F.col("n_tokens")
     seq_first = F.floor(off / budget).cast("int")

@@ -89,7 +89,14 @@ def _mid_bounded_edges(e: DataFrame, max_mid_out: Optional[int]) -> DataFrame:
     SOURCE has out-degree <= ``max_mid_out`` (None = unbounded).  Factored
     out so the hub-guard bound is directly testable: after this filter the
     2-path join emits at most ``|E| * max_mid_out`` rows regardless of
-    skew."""
+    skew.
+
+    Guard-drop accounting lives in ``hub_guard_report`` — an explicit
+    tiny aggregation rather than a ``DataFrame.observe`` riding this
+    plan, because a CollectMetrics node upstream of the final distinct
+    aggregate does not surface its metrics row reliably (observed
+    empirically on Spark 4.1; the MinHash cap, whose downstream has no
+    distinct aggregate, does use the observe seam)."""
     if max_mid_out is None:
         return e
     small_mids = (
@@ -99,6 +106,26 @@ def _mid_bounded_edges(e: DataFrame, max_mid_out: Optional[int]) -> DataFrame:
         .select("mid")
     )
     return e.join(small_mids, e["subj"] == small_mids["mid"], "left_semi")
+
+
+def hub_guard_report(
+    triples: DataFrame, max_mid_out: int = 100_000
+) -> DataFrame:
+    """One-row accounting of the 2-hop hub guard's recall trade (ADVICE
+    r4: no silent truncation): ``(n_dropped_mids, n_mids, max_out_deg)``
+    for the distinct edge set at the given cap.  An explicit aggregation
+    job — degree aggregate only, no join, so it costs seconds at any
+    corpus size — run alongside ``two_hop_reach`` when drop accounting is
+    required (a ``DataFrame.observe`` on the reach plan itself does not
+    surface metrics under the final distinct aggregate)."""
+    deg = _edges(triples).groupBy("subj").agg(
+        F.count(F.lit(1)).alias("d"))
+    return deg.agg(
+        F.sum((F.col("d") > max_mid_out).cast("long"))
+        .alias("n_dropped_mids"),
+        F.count(F.lit(1)).alias("n_mids"),
+        F.max("d").alias("max_out_deg"),
+    )
 
 
 def two_hop_reach(

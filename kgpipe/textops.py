@@ -34,15 +34,26 @@ def distinct_tokens_col(text: str = "text") -> Column:
     return F.array_distinct(tokens_col(text))
 
 
-def token_count(df: DataFrame, text: str = "text") -> DataFrame:
-    """Whitespace token count plus a BPE-ish subword proxy count
-    (word-piece-like regex: alnum runs and single non-space symbols)."""
+def subword_tokens_col(text: str = "text") -> Column:
+    """BPE-ish deterministic subword proxy (word-piece-like regex: alnum
+    runs and single non-space symbols) — the demonstration ``tokens_fn``
+    for the pluggable-token-counter seam (a real BPE would plug in the
+    same way: any text-column → array<string> column builder)."""
+    return F.regexp_extract_all(
+        F.col(text), F.lit(r"([A-Za-z0-9]+|[^A-Za-z0-9\s])"), 1)
+
+
+def token_count(df: DataFrame, text: str = "text",
+                tokens_fn=None) -> DataFrame:
+    """Token count (``tokens_fn`` column-builder, default whitespace
+    ``tokens_col``) plus the BPE-ish subword proxy count and char length.
+    Pass ``tokens_fn=subword_tokens_col`` (or a real-tokenizer column
+    builder) to budget packing-pipeline tokens instead of words."""
+    n_tok = F.size((tokens_fn or tokens_col)(text))
     return df.select(
         "doc_id",
-        F.size(tokens_col(text)).alias("n_tokens"),
-        F.size(
-            F.regexp_extract_all(F.col(text), F.lit(r"([A-Za-z0-9]+|[^A-Za-z0-9\s])"), 1)
-        ).alias("n_subwords"),
+        n_tok.alias("n_tokens"),
+        F.size(subword_tokens_col(text)).alias("n_subwords"),
         F.length(F.col(text)).alias("n_chars"),
     )
 
@@ -98,6 +109,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_bucket_size: Optional[int] = 500,
+    drop_observation=None,
 ) -> DataFrame:
     """shingle → minhash → band → bucket-join near-duplicate pairs.
 
@@ -125,6 +137,13 @@ def minhash_lsh_pairs(
       same (band_idx, band_val) hash partitioning the join shuffles on,
       so it adds no exchange; post-cap, candidate count is bounded by
       ``bands * n_docs * max_bucket_size``.
+
+    ``drop_observation``: an optional ``pyspark.sql.Observation`` making
+    the cap's truncation OBSERVABLE instead of silent — after any action
+    on the returned frame, ``observation.get`` reports
+    ``n_dropped_band_rows`` (doc×band rows removed by the cap) and
+    ``n_dropped_buckets`` (approx distinct capped buckets).  Rides the
+    same action via ``DataFrame.observe`` — no extra job.
     """
     rows_per_band = k // bands
     sig = df.select(
@@ -149,11 +168,19 @@ def minhash_lsh_pairs(
     ).select("doc_id", "band.band_idx", "band.band_val")
     if max_bucket_size is not None:
         w = Window.partitionBy("band_idx", "band_val")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        if drop_observation is not None:
+            dropped = F.col("_bsz") > max_bucket_size
+            banded = banded.observe(
+                drop_observation,
+                F.sum(dropped.cast("long")).alias("n_dropped_band_rows"),
+                F.approx_count_distinct(
+                    F.when(dropped,
+                           F.concat_ws("|", "band_idx", "band_val"))
+                ).alias("n_dropped_buckets"),
+            )
+        banded = banded.filter(
+            F.col("_bsz") <= max_bucket_size).drop("_bsz")
 
     a = banded.alias("a")
     b = banded.alias("b")

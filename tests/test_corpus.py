@@ -267,6 +267,41 @@ def test_pack_sequences_sharded_deterministic(spark):
             off += r["n_tokens"]
 
 
+def test_pack_sequences_pluggable_tokenizer(spark):
+    """VERDICT r4 #7: the token budget's unit is pluggable — the BPE-ish
+    subword splitter changes n_tokens/cut layout while the packing
+    invariants (contiguous offsets, determinism) hold."""
+    from kgpipe.corpus import pack_sequences
+    from kgpipe.textops import subword_tokens_col
+
+    rows = [(1, "hello, world!!"),       # 2 words / 5 subwords
+            (2, "a.b"),                  # 1 word  / 3 subwords
+            (3, "plain words here")]     # 3 words / 3 subwords
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    words = {r["doc_id"]: r for r in
+             pack_sequences(df, budget=4, n_shard_hex=0).collect()}
+    sub = {r["doc_id"]: r for r in
+           pack_sequences(df, budget=4, n_shard_hex=0,
+                          tokens_fn=subword_tokens_col).collect()}
+    assert (words[1]["n_tokens"], words[2]["n_tokens"]) == (2, 1)
+    assert (sub[1]["n_tokens"], sub[2]["n_tokens"]) == (5, 3)
+    # layout shifts with the unit: under subwords doc 1 already straddles
+    # the first cut
+    assert words[1]["n_splits"] == 0 and sub[1]["n_splits"] == 1
+    # contiguity invariant holds for the plugged counter
+    off = 0
+    for d in (1, 2, 3):
+        assert sub[d]["tok_offset"] == off
+        off += sub[d]["n_tokens"]
+
+    # token_count exposes the same seam
+    from kgpipe.textops import token_count
+
+    t = {r["doc_id"]: r for r in
+         token_count(df, tokens_fn=subword_tokens_col).collect()}
+    assert all(t[d]["n_tokens"] == t[d]["n_subwords"] for d in (1, 2, 3))
+
+
 def test_pack_sequences_custom_key(spark):
     from kgpipe.corpus import pack_sequences
 

@@ -132,6 +132,13 @@ def test_two_hop_planted_hub_bounded_intermediate(spark):
     got = {r["entity"]: r["n_two_hop"] for r in two_hop_reach(t).collect()}
     assert got["s0"] == 1000
 
+    # guard drops are accountable (ADVICE r4): the hub mid is counted
+    from kgpipe.graph import hub_guard_report
+
+    rep = hub_guard_report(t, max_mid_out=max_mid_out).first()
+    assert rep["n_dropped_mids"] == 1 and rep["max_out_deg"] == 1000
+    assert hub_guard_report(t).first()["n_dropped_mids"] == 0  # default cap
+
 
 def test_ego_network_directed_dedupes_multiset(spark):
     from kgpipe.graph import ego_network
