@@ -233,6 +233,56 @@ tri AS (
   UNION ALL SELECT * FROM t_role UNION ALL SELECT * FROM t_tool
   UNION ALL SELECT * FROM t_denote UNION ALL SELECT * FROM t_cooc)"""
 
+# symmetric distinct entity edges (self-loops dropped) — the degree
+# domain shared by the k-core and label-propagation oracles (mirrors
+# kgpipe.graph._und_edges)
+_SQL_UND = """
+e_d AS MATERIALIZED (SELECT DISTINCT subj, obj FROM tri WHERE subj <> obj),
+und AS MATERIALIZED (SELECT subj AS a, obj AS b FROM e_d
+        UNION SELECT obj AS a, subj AS b FROM e_d)"""
+
+
+def _sql_k_core(k: int, iters: int) -> str:
+    """Unrolled-iteration DuckDB mirror of kgpipe.graph.k_core: each level
+    keeps nodes whose degree in the subgraph induced by the previous level
+    is >= k; the final level reports induced degrees.  Spark's early-stop
+    is output-identical (post-fixpoint rounds are no-ops)."""
+    levels = ["alive0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM und)"]
+    for i in range(1, iters + 1):
+        levels.append(f"""alive{i} AS MATERIALIZED (
+  SELECT und.a AS id FROM und
+  JOIN alive{i - 1} s ON und.a = s.id
+  JOIN alive{i - 1} t ON und.b = t.id
+  GROUP BY und.a HAVING count(*) >= {k})""")
+    joined = ",\n".join(levels)
+    return f"""{_SQL_TRIPLES},{_SQL_UND},
+{joined}
+SELECT und.a AS entity, count(*) AS degree FROM und
+JOIN alive{iters} s ON und.a = s.id
+JOIN alive{iters} t ON und.b = t.id
+GROUP BY und.a"""
+
+
+def _sql_lpa(iters: int) -> str:
+    """Unrolled deterministic synchronous label propagation (mirrors
+    kgpipe.graph.label_propagation: most-frequent neighbor label, ties to
+    the ascending label)."""
+    levels = ["lbl0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM und)"]
+    for i in range(1, iters + 1):
+        levels.append(f"""nl{i} AS MATERIALIZED (
+  SELECT und.a AS id, l.lbl, count(*) AS c
+  FROM und JOIN lbl{i - 1} l ON und.b = l.id GROUP BY 1, 2),
+lbl{i} AS MATERIALIZED (
+  SELECT id, lbl FROM (
+    SELECT id, lbl, row_number() OVER (
+      PARTITION BY id ORDER BY c DESC, lbl ASC) AS rk FROM nl{i})
+  WHERE rk = 1)""")
+    joined = ",\n".join(levels)
+    return f"""{_SQL_TRIPLES},{_SQL_UND},
+{joined}
+SELECT id AS entity, lbl AS label FROM lbl{iters}"""
+
+
 _SQL_DOUBLED = """
 doubled AS (
   SELECT doc_id, text FROM documents
@@ -1155,6 +1205,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hops=2,
         )
 
+    def q_k_core(spark, sf_dir):
+        from kgpipe.graph import k_core
+
+        return k_core(_triples(spark, sf_dir), k=2, iters=8)
+
+    def q_label_propagation(spark, sf_dir):
+        from kgpipe.graph import label_propagation
+
+        return label_propagation(_triples(spark, sf_dir), iters=4)
+
+    def q_functional_violations(spark, sf_dir):
+        from kgpipe.quality import functional_violations
+
+        return functional_violations(
+            _triples(spark, sf_dir),
+            ["http://purl.org/kgpipe/hasRole",
+             "http://purl.org/kgpipe/denotes"],
+        )
+
+    def q_domain_range(spark, sf_dir):
+        from kgpipe.quality import domain_range_profile
+
+        return domain_range_profile(_triples(spark, sf_dir))
+
+    def q_dr_violations(spark, sf_dir):
+        from kgpipe.quality import domain_range_violations
+
+        # plant two wrong-namespace triples (mirrored in the oracle VALUES)
+        # so the violation path is exercised, not just the empty case
+        t = _triples(spark, sf_dir).select("subj", "pred", "obj")
+        planted = spark.createDataFrame(
+            [("not-a-uri-subject", "http://purl.org/kgpipe/denotes",
+              "http://purl.obolibrary.org/obo/T_0001"),
+             ("https://kg.example.org/conv/src0#t0",
+              "http://purl.org/kgpipe/denotes", "plain-literal")],
+            "subj string, pred string, obj string",
+        )
+        return domain_range_violations(t.unionByName(planted), min_share=0.5)
+
+    def q_kg_completeness(spark, sf_dir):
+        from kgpipe.quality import predicate_completeness
+
+        return predicate_completeness(
+            _triples(spark, sf_dir),
+            "http://purl.org/dc/terms/isPartOf",
+            ["http://purl.org/kgpipe/hasRole",
+             "http://purl.org/kgpipe/usedTool"],
+        )
+
     def q_sample_strata(spark, sf_dir):
         from kgpipe.corpus import stratified_sample
 
@@ -1482,6 +1581,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_two_hop": q_graph_two_hop,
         "graph_triangles": q_graph_triangles,
         "ego_network": q_ego_network,
+        "k_core": q_k_core,
+        "label_propagation": q_label_propagation,
+        "functional_violations": q_functional_violations,
+        "domain_range": q_domain_range,
+        "dr_violations": q_dr_violations,
+        "kg_completeness": q_kg_completeness,
         "sample_strata": q_sample_strata,
         "pack_plan": q_pack_plan,
         "sessionize": q_sessionize,
@@ -2245,6 +2350,82 @@ SELECT subj, pred, obj, min(hop)::int AS hop FROM (
   SELECT e.subj, e.pred, e.obj, dist.d + 1 AS hop
   FROM e JOIN dist ON e.obj = dist.id)
 GROUP BY subj, pred, obj""",
+        # KG quality checks (kgpipe.quality): functional-predicate
+        # violations, host-level domain/range namespace signatures, minority
+        # signature flagging (two planted anomalies mirror q_dr_violations),
+        # and per-required-predicate completeness over isPartOf subjects
+        # k-core / label propagation: fixed-iteration deterministic graph
+        # algorithms, unrolled level-by-level for DuckDB
+        "k_core": _sql_k_core(k=2, iters=8),
+        "label_propagation": _sql_lpa(iters=4),
+        "functional_violations": f"""
+{_SQL_TRIPLES}
+SELECT pred, subj, count(DISTINCT obj) AS n_obj
+FROM tri
+WHERE pred IN ('http://purl.org/kgpipe/hasRole',
+               'http://purl.org/kgpipe/denotes')
+GROUP BY pred, subj
+HAVING count(DISTINCT obj) > 1""",
+        "domain_range": f"""
+{_SQL_TRIPLES}
+SELECT pred,
+       CASE WHEN regexp_matches(subj, '^https?://')
+            THEN regexp_extract(subj, '^(https?://[^/#]+)', 1)
+            ELSE 'literal' END AS subj_ns,
+       CASE WHEN regexp_matches(obj, '^https?://')
+            THEN regexp_extract(obj, '^(https?://[^/#]+)', 1)
+            ELSE 'literal' END AS obj_ns,
+       count(*) AS n
+FROM tri GROUP BY 1, 2, 3""",
+        "dr_violations": f"""
+{_SQL_TRIPLES},
+t3 AS (
+  SELECT subj, pred, obj FROM tri
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('not-a-uri-subject', 'http://purl.org/kgpipe/denotes',
+     'http://purl.obolibrary.org/obo/T_0001'),
+    ('https://kg.example.org/conv/src0#t0',
+     'http://purl.org/kgpipe/denotes', 'plain-literal'))
+    AS v(subj, pred, obj)),
+prof AS (
+  SELECT pred,
+         CASE WHEN regexp_matches(subj, '^https?://')
+              THEN regexp_extract(subj, '^(https?://[^/#]+)', 1)
+              ELSE 'literal' END AS subj_ns,
+         CASE WHEN regexp_matches(obj, '^https?://')
+              THEN regexp_extract(obj, '^(https?://[^/#]+)', 1)
+              ELSE 'literal' END AS obj_ns,
+         count(*) AS n
+  FROM t3 GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY pred ORDER BY n DESC, subj_ns ASC, obj_ns ASC) AS rk
+  FROM prof),
+modal AS (
+  SELECT pred, subj_ns AS expected_subj_ns, obj_ns AS expected_obj_ns,
+         n AS expected_n
+  FROM ranked WHERE rk = 1)
+SELECT r.pred, r.subj_ns, r.obj_ns, r.n,
+       m.expected_subj_ns, m.expected_obj_ns, m.expected_n
+FROM ranked r JOIN modal m USING (pred)
+WHERE r.rk > 1 AND r.n < 0.5 * m.expected_n""",
+        "kg_completeness": f"""
+{_SQL_TRIPLES},
+subs AS (SELECT DISTINCT subj FROM tri
+         WHERE pred = 'http://purl.org/dc/terms/isPartOf'),
+present AS (SELECT DISTINCT pred, subj FROM tri
+            WHERE pred IN ('http://purl.org/kgpipe/hasRole',
+                           'http://purl.org/kgpipe/usedTool')),
+req AS (SELECT subj, unnest(['http://purl.org/kgpipe/hasRole',
+                             'http://purl.org/kgpipe/usedTool']) AS pred
+        FROM subs)
+SELECT req.pred, count(*) AS n_subjects,
+       sum(CASE WHEN present.subj IS NULL THEN 0 ELSE 1 END) AS n_present,
+       sum(CASE WHEN present.subj IS NULL THEN 1 ELSE 0 END) AS n_missing
+FROM req LEFT JOIN present
+  ON req.pred = present.pred AND req.subj = present.subj
+GROUP BY req.pred""",
         "sample_strata": """
 SELECT doc_id, lang FROM documents
 WHERE substring(md5(doc_id::varchar), 1, 8) <

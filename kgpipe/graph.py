@@ -379,3 +379,103 @@ def ego_network(
         .groupBy("subj", "pred", "obj")
         .agg(F.min("hop").cast("int").alias("hop"))
     )
+
+
+def _und_edges(triples: DataFrame) -> DataFrame:
+    """Symmetric distinct edge set ``(a, b)`` of the entity graph with
+    self-loops dropped — the degree domain for ``k_core`` and
+    ``label_propagation`` (both are defined on the undirected simple
+    graph).  Distinct + union keeps each undirected edge exactly twice
+    (once per direction), so a node's degree is its row count as ``a``.
+    localCheckpointed: both consumers re-join it every round."""
+    e = triples.select("subj", "obj").filter(
+        F.col("subj") != F.col("obj")
+    )
+    und = (
+        e.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .unionAll(e.select(F.col("obj").alias("a"), F.col("subj").alias("b")))
+        .distinct()
+    )
+    return und.localCheckpoint(eager=True)
+
+
+def k_core(triples: DataFrame, k: int = 2, iters: int = 8) -> DataFrame:
+    """The ``k``-core of the undirected entity graph after at most
+    ``iters`` peeling rounds: ``(entity, degree)`` — nodes surviving
+    iterative removal of every node with induced degree < ``k``, with
+    their degree in the FINAL induced subgraph.
+
+    Each round is one aggregation + two semi-joins, all hash-partitioned
+    on entity id, with the survivor set localCheckpointed so plan depth
+    stays O(1).  The loop early-stops when a round removes nothing
+    (fixpoint — identical output to running the remaining rounds), so
+    ``iters`` is a determinism bound, not a cost floor; real graphs peel
+    in a handful of rounds.  Survivor sets shrink monotonically, so at
+    cluster scale every round after the first joins against a
+    smaller-than-edges frame (AQE broadcast-converts the late rounds).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = _und_edges(triples)
+    alive = und.select(F.col("a").alias("id")).distinct()
+    alive = alive.localCheckpoint(eager=True)
+    n_alive = alive.count()
+    for _ in range(iters):
+        induced = und.join(
+            alive.withColumnRenamed("id", "a"), "a", "left_semi"
+        ).join(alive.withColumnRenamed("id", "b"), "b", "left_semi")
+        nxt = (
+            induced.groupBy(F.col("a").alias("id"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        alive = nxt
+        if n_nxt == n_alive:
+            break
+        n_alive = n_nxt
+    final = und.join(
+        alive.withColumnRenamed("id", "a"), "a", "left_semi"
+    ).join(alive.withColumnRenamed("id", "b"), "b", "left_semi")
+    return final.groupBy(F.col("a").alias("entity")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def label_propagation(triples: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label propagation (community detection, Raghavan et
+    al. 2007) over the undirected entity graph: ``(entity, label)``
+    after exactly ``iters`` rounds.  Every node starts labelled with its
+    own id; each round it adopts its neighbors' most frequent label,
+    ties broken by label ascending — fully deterministic, unlike the
+    randomized asynchronous original, so the result is oracle-hashable
+    (the DuckDB mirror unrolls the same rounds).
+
+    Per round: one equi-join (edge × label, keyed on entity id), one
+    (node, label) count aggregate, and one row_number window — the
+    aggregate and window share the node-id hash partitioning, so a round
+    costs two exchanges of label-width rows regardless of graph size.
+    Labels are node ids (fixed width); per-round state is one row per
+    node, localCheckpointed to keep lineage flat.
+    """
+    und = _und_edges(triples)
+    labels = und.select(F.col("a").alias("id"), F.col("a").alias("lbl"))
+    labels = labels.distinct().localCheckpoint(eager=True)
+    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(iters):
+        neigh = und.join(
+            labels.withColumnRenamed("id", "b"), "b"
+        ).groupBy(F.col("a").alias("id"), "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            neigh.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("id", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("id").alias("entity"), F.col("lbl").alias("label")
+    )

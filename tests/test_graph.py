@@ -235,3 +235,59 @@ def test_ego_network(spark):
 
     with pytest.raises(ValueError):
         ego_network(t, "seed", hops=0)
+
+
+def test_k_core(spark):
+    from kgpipe.graph import k_core
+
+    rows = [
+        # triangle a-b-c with a pendant chain c-d-e
+        ("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c"),
+        ("c", "p", "d"), ("d", "p", "e"),
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {r["entity"]: r["degree"] for r in k_core(t, k=2).collect()}
+    # peeling: e (deg 1) drops, then d (deg 1) drops; the triangle stays
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # k=3: the triangle's induced degrees are 2 -> everything peels away
+    assert k_core(t, k=3).count() == 0
+
+
+def test_k_core_iteration_bound(spark):
+    from kgpipe.graph import k_core
+
+    # a path of 5 nodes needs 2 peel rounds to empty at k=2; with
+    # iters=1 only the endpoints have been removed so far
+    rows = [("n1", "p", "n2"), ("n2", "p", "n3"),
+            ("n3", "p", "n4"), ("n4", "p", "n5")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    one = {r["entity"] for r in k_core(t, k=2, iters=1).collect()}
+    assert one == {"n2", "n3", "n4"}
+    assert k_core(t, k=2, iters=8).count() == 0
+
+
+def test_label_propagation_two_communities(spark):
+    from kgpipe.graph import label_propagation
+
+    rows = [
+        ("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c"),
+        ("x", "p", "y"), ("x", "p", "z"), ("y", "p", "z"),
+        ("c", "p", "x"),  # bridge
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {r["entity"]: r["label"] for r in
+           label_propagation(t, iters=4).collect()}
+    # deterministic sync LPA with min-label tie-break: the two triangles
+    # settle on their own communities despite the bridge
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "c", "y": "c", "z": "c"}
+
+
+def test_label_propagation_deterministic(spark):
+    from kgpipe.graph import label_propagation
+
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    r1 = sorted(map(tuple, label_propagation(t, iters=3).collect()))
+    r2 = sorted(map(tuple, label_propagation(t, iters=3).collect()))
+    assert r1 == r2
