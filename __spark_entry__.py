@@ -1205,6 +1205,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hops=2,
         )
 
+    def q_asof_events(spark, sf_dir):
+        from kgpipe.temporal import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.filter("event_type = 'click'").select(
+            "event_id", "user_id", "ts")
+        # right side deduped to unique (user_id, ts) so the at-or-before
+        # match is unambiguous in both engines
+        purch = (
+            ev.filter("event_type = 'purchase'")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("pval"))
+        )
+        return asof_join(clicks, purch, on="user_id", ts="ts",
+                         value_cols=["pval"])
+
+    def q_label_match(spark, sf_dir):
+        from kgpipe.entitymatch import label_match_pairs
+
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        return label_match_pairs(part, "p_partkey", "p_name", threshold=0.5)
+
+    def q_snapshot_diff(spark, sf_dir):
+        from kgpipe.triples import snapshot_diff
+
+        # two retention views of the same build: "yesterday" kept turns
+        # <= 15, "today" keeps turns >= 5 (conv-level families persist)
+        t = _triples(spark, sf_dir)
+        old = t.filter((F.col("turn_idx") <= 15) | F.col("turn_idx").isNull())
+        new = t.filter((F.col("turn_idx") >= 5) | F.col("turn_idx").isNull())
+        return snapshot_diff(old, new)
+
     def q_k_core(spark, sf_dir):
         from kgpipe.graph import k_core
 
@@ -1583,6 +1615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_network": q_ego_network,
         "k_core": q_k_core,
         "label_propagation": q_label_propagation,
+        "asof_events": q_asof_events,
+        "label_match": q_label_match,
+        "snapshot_diff": q_snapshot_diff,
         "functional_violations": q_functional_violations,
         "domain_range": q_domain_range,
         "dr_violations": q_dr_violations,
@@ -2358,6 +2393,59 @@ GROUP BY subj, pred, obj""",
         # algorithms, unrolled level-by-level for DuckDB
         "k_core": _sql_k_core(k=2, iters=8),
         "label_propagation": _sql_lpa(iters=4),
+        # as-of join: DuckDB's native ASOF LEFT JOIN vs the Spark
+        # union+window formulation (kgpipe.temporal.asof_join)
+        "asof_events": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (
+  SELECT user_id, ts, max(value) AS pval FROM events
+  WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.ts, p.pval AS pval_r, p.ts AS ts_r
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts""",
+        # exact prefix-filter token-Jaccard entity matching
+        # (kgpipe.entitymatch.label_match_pairs on part names)
+        "label_match": """
+WITH toks AS MATERIALIZED (
+  SELECT p_partkey AS id,
+         list_sort(list_distinct(list_filter(
+           string_split_regex(lower(p_name), '[^a-z0-9]+'),
+           x -> x <> ''))) AS toks
+  FROM part),
+toks2 AS (SELECT * FROM toks WHERE len(toks) > 0),
+tk AS (SELECT id, len(toks) AS k, unnest(toks) AS tok FROM toks2),
+dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+blocks AS MATERIALIZED (
+  SELECT tk.tok, tk.id FROM tk JOIN dfq USING (tok)
+  WHERE dfq.df <= 10000
+  QUALIFY row_number() OVER (
+    PARTITION BY tk.id ORDER BY dfq.df ASC, tk.tok ASC)
+    <= tk.k - ceil(0.5 * tk.k) + 1),
+cands AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM blocks x JOIN blocks y ON x.tok = y.tok AND x.id < y.id)
+SELECT id_a, id_b,
+       len(list_intersect(a.toks, b.toks)) AS n_common,
+       len(a.toks) + len(b.toks)
+         - len(list_intersect(a.toks, b.toks)) AS n_union
+FROM cands JOIN toks2 a ON cands.id_a = a.id
+           JOIN toks2 b ON cands.id_b = b.id
+WHERE len(list_intersect(a.toks, b.toks))
+      >= 0.5 * (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)))""",
+        # set-semantic diff between two retention views of the build
+        "snapshot_diff": f"""
+{_SQL_TRIPLES},
+o AS (SELECT DISTINCT subj, pred, obj FROM tri
+      WHERE turn_idx <= 15 OR turn_idx IS NULL),
+n AS (SELECT DISTINCT subj, pred, obj FROM tri
+      WHERE turn_idx >= 5 OR turn_idx IS NULL)
+SELECT subj, pred, obj, 'added' AS status
+FROM (SELECT * FROM n EXCEPT SELECT * FROM o)
+UNION ALL
+SELECT subj, pred, obj, 'removed' AS status
+FROM (SELECT * FROM o EXCEPT SELECT * FROM n)""",
         "functional_violations": f"""
 {_SQL_TRIPLES}
 SELECT pred, subj, count(DISTINCT obj) AS n_obj

@@ -1,0 +1,97 @@
+"""Temporal operators: distributed as-of joins over keyed event streams.
+
+Spark has no built-in as-of join (pandas ``merge_asof`` is single-node;
+Flink/kdb expose it natively).  The classic scalable formulation is a
+UNION + window scan instead of a join: tag both sides, sort each key
+group once by (ts, side), and carry the right side's values forward with
+``last_value(... ignoreNulls)``.  That costs exactly ONE exchange (hash
+partition on the key) and one within-partition sort — no join, no
+range-explosion, no skew amplification beyond the key's own row count —
+so it holds at 10^12-event scale where a naive range join would
+quadratically explode on hot keys.
+
+Semantics match ``pandas.merge_asof(direction='backward'/'forward')``
+with ``allow_exact_matches`` = ``not strict``: for every left row, the
+single right row with the greatest ``ts`` <= (or smallest ``ts`` >=)
+the left row's ``ts`` on the same key.  Ties inside the right side
+(duplicate (key, ts)) are broken deterministically by the greatest
+value tuple; pre-aggregate the right side if a different policy is
+needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts: str = "ts",
+    value_cols: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+    strict: bool = False,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every ``left`` row, attach the matching ``right`` row's
+    ``value_cols`` (and its timestamp as ``ts + suffix``): the latest
+    right row at-or-before the left timestamp (``direction='backward'``,
+    default) or the earliest at-or-after (``'forward'``) per join key.
+    ``strict=True`` excludes equal timestamps (strictly before/after).
+    Unmatched left rows keep NULLs — a left outer as-of join.
+
+    Plan shape: unionByName(tagged left, tagged right) → one window over
+    (key) ordered by (ts, side[, value tie-break]) → filter back to left
+    rows.  One exchange total; both inputs are scanned exactly once.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in keys and c != ts
+        ]
+    value_cols = list(value_cols)
+
+    carried = [f"{c}{suffix}" for c in value_cols] + [f"{ts}{suffix}"]
+    l_tag = left.select(
+        *left.columns,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[ts].dataType).alias(f"{ts}{suffix}"),
+        F.lit(1).alias(_SIDE),
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(ts).alias(f"{ts}{suffix}"),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys and c != ts],
+    ).select(l_tag.columns)
+
+    # ordering: right rows must sort before the left rows they may serve.
+    #   backward, inclusive: (ts asc, side asc)  — right at equal ts wins
+    #   backward, strict:    (ts asc, side desc) — left precedes equal-ts right
+    #   forward: mirror with ts desc (last_value then sees later rows first)
+    ts_ord = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
+    side_ord = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+    # deterministic duplicate-(key, ts) tie-break: greatest value tuple wins
+    tie = [F.col(c).asc_nulls_first() for c in carried]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_ord, side_ord, *tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tag.unionByName(r_tag).select(
+        *[c for c in l_tag.columns if c not in carried and c != _SIDE],
+        F.col(_SIDE),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)

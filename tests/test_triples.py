@@ -202,3 +202,49 @@ def test_session_triples(spark):
     }
     assert all(r.pred == PRED_IN_SESSION
                for r in session_triples(tdf).collect())
+
+
+def test_snapshot_diff(spark):
+    from kgpipe.triples import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c"), ("a", "p", "c"), ("x", "q", "y")],
+        ["subj", "pred", "obj"],
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "d"), ("x", "q", "z")],
+        ["subj", "pred", "obj"],
+    )
+    got = {(r["subj"], r["pred"], r["obj"]): r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        ("a", "p", "c"): "removed", ("x", "q", "y"): "removed",
+        ("a", "p", "d"): "added", ("x", "q", "z"): "added",
+    }
+
+
+def test_merge_triples_snapshot(spark, tmp_path):
+    from kgpipe.triples import (
+        committed_snapshot, merge_triples_snapshot, read_triples_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    t1 = spark.createDataFrame(
+        [("s1", "p", "o1", "c1", 0), ("s2", "p", "o2", "c1", 1)], cols)
+    m1 = merge_triples_snapshot(spark, base, t1, n_buckets=2)
+    assert m1["snapshot"] == "snap-1" and m1["n_triples"] == 2
+
+    # second merge: one overlapping row (deduped), one new
+    t2 = spark.createDataFrame(
+        [("s2", "p", "o2", "c1", 1), ("s3", "p", "o3", "c2", 0)], cols)
+    m2 = merge_triples_snapshot(spark, base, t2, n_buckets=2)
+    assert m2["snapshot"] == "snap-2" and m2["n_triples"] == 3
+    assert m2["parent"] == "snap-1"
+    assert committed_snapshot(base) == "snap-2"
+
+    latest = read_triples_snapshot(spark, base)
+    assert latest.count() == 3
+    # time travel: snap-1 still readable with its original 2 rows
+    old = spark.read.parquet(f"{base}/snap-1")
+    assert old.count() == 2
