@@ -1221,6 +1221,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return asof_join(clicks, purch, on="user_id", ts="ts",
                          value_cols=["pval"])
 
+    def q_latest_state(spark, sf_dir):
+        from kgpipe.temporal import latest_by_key
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_type", "props", "ts")
+        return latest_by_key(ev, keys=("user_id", "event_type"), ts="ts")
+
+    def q_minhash_cross(spark, sf_dir):
+        from kgpipe.textops import minhash_cross_pairs
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        # new batch = re-keyed copies of the first 60 docs (guaranteed
+        # cross-corpus exact dups), ref corpus = everything
+        new = d.filter(F.col("doc_id") < 60).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text")
+        return minhash_cross_pairs(new, d, jaccard_threshold=0.5)
+
     def q_label_match(spark, sf_dir):
         from kgpipe.entitymatch import label_match_pairs
 
@@ -1616,6 +1633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "label_propagation": q_label_propagation,
         "asof_events": q_asof_events,
+        "latest_state": q_latest_state,
+        "minhash_cross": q_minhash_cross,
         "label_match": q_label_match,
         "snapshot_diff": q_snapshot_diff,
         "functional_violations": q_functional_violations,
@@ -2404,6 +2423,65 @@ purch AS (
 SELECT c.event_id, c.user_id, c.ts, p.pval AS pval_r, p.ts AS ts_r
 FROM clicks c ASOF LEFT JOIN purch p
   ON c.user_id = p.user_id AND c.ts >= p.ts""",
+        # SCD-style latest-per-key current-state view
+        "latest_state": """
+SELECT user_id, event_type, props, ts FROM (
+  SELECT user_id, event_type, props, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, props DESC) AS rk
+  FROM events)
+WHERE rk = 1""",
+        # cross-corpus MinHash near-dup (new batch vs reference corpus);
+        # banding identical to minhash_pairs, cap on the reference side
+        "minhash_cross": """
+WITH newb AS (SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id < 60),
+tn AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td
+       FROM newb),
+tr AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td
+       FROM documents),
+sign AS (SELECT doc_id, td,
+  [list_min(list_transform(td, t -> md5('0|' || t))),
+   list_min(list_transform(td, t -> md5('1|' || t))),
+   list_min(list_transform(td, t -> md5('2|' || t))),
+   list_min(list_transform(td, t -> md5('3|' || t))),
+   list_min(list_transform(td, t -> md5('4|' || t))),
+   list_min(list_transform(td, t -> md5('5|' || t))),
+   list_min(list_transform(td, t -> md5('6|' || t))),
+   list_min(list_transform(td, t -> md5('7|' || t)))] AS sig FROM tn),
+sigr AS (SELECT doc_id, td,
+  [list_min(list_transform(td, t -> md5('0|' || t))),
+   list_min(list_transform(td, t -> md5('1|' || t))),
+   list_min(list_transform(td, t -> md5('2|' || t))),
+   list_min(list_transform(td, t -> md5('3|' || t))),
+   list_min(list_transform(td, t -> md5('4|' || t))),
+   list_min(list_transform(td, t -> md5('5|' || t))),
+   list_min(list_transform(td, t -> md5('6|' || t))),
+   list_min(list_transform(td, t -> md5('7|' || t)))] AS sig FROM tr),
+bn AS (SELECT doc_id, 0 AS band_idx, sig[1] || sig[2] AS band_val FROM sign
+  UNION ALL SELECT doc_id, 1, sig[3] || sig[4] FROM sign
+  UNION ALL SELECT doc_id, 2, sig[5] || sig[6] FROM sign
+  UNION ALL SELECT doc_id, 3, sig[7] || sig[8] FROM sign),
+br AS (SELECT doc_id, band_idx, band_val FROM (
+    SELECT doc_id, band_idx, band_val,
+           count(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+    FROM (SELECT doc_id, 0 AS band_idx, sig[1] || sig[2] AS band_val
+            FROM sigr
+          UNION ALL SELECT doc_id, 1, sig[3] || sig[4] FROM sigr
+          UNION ALL SELECT doc_id, 2, sig[5] || sig[6] FROM sigr
+          UNION ALL SELECT doc_id, 3, sig[7] || sig[8] FROM sigr))
+  WHERE bsz <= 500),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+  FROM bn n JOIN br r
+    ON n.band_idx = r.band_idx AND n.band_val = r.band_val)
+SELECT new_id, ref_id,
+       len(list_intersect(a.td, b.td))::double
+         / len(list_distinct(list_concat(a.td, b.td)))::double AS jaccard
+FROM cand JOIN tn a ON cand.new_id = a.doc_id
+          JOIN tr b ON cand.ref_id = b.doc_id
+WHERE len(list_intersect(a.td, b.td))::double
+        / len(list_distinct(list_concat(a.td, b.td)))::double >= 0.5""",
         # exact prefix-filter token-Jaccard entity matching
         # (kgpipe.entitymatch.label_match_pairs on part names)
         "label_match": """

@@ -95,3 +95,34 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
     )
     return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str] = ("subj", "pred"),
+    ts: str = "ts",
+    tie_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Current-state view of a temporal fact table: the single latest row
+    per ``keys`` (greatest ``ts``; ties broken deterministically by
+    ``tie_cols`` descending — default: every remaining column).  Applied
+    to a timestamped triple table this turns an append-only assertion log
+    into the KG's present state (the SCD-style "latest per (subj, pred)"
+    read); applied to an event stream it yields per-entity last-known
+    state.
+
+    One exchange (hash partition on ``keys``) + one within-partition
+    sort — the row_number window's TopK pushes partial evaluation
+    map-side, so at 10^12-row scale the shuffle carries only each
+    partition's per-key leaders.
+    """
+    keys = list(keys)
+    if tie_cols is None:
+        tie_cols = [c for c in df.columns if c not in keys and c != ts]
+    order = [F.col(ts).desc()] + [F.col(c).desc() for c in tie_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

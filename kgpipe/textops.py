@@ -145,27 +145,7 @@ def minhash_lsh_pairs(
     ``n_dropped_buckets`` (approx distinct capped buckets).  Rides the
     same action via ``DataFrame.observe`` — no extra job.
     """
-    rows_per_band = k // bands
-    sig = df.select(
-        F.col("doc_id"), minhash_signature(text, k).alias("sig"),
-    )
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            "", *[F.col("sig")[b * rows_per_band + r]
-                                  for r in range(rows_per_band)]
-                        ).alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_val")
+    banded = _band_frame(df, text, k, bands)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_idx", "band_val")
         banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
@@ -214,6 +194,108 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def _band_frame(df: DataFrame, text: str, k: int, bands: int) -> DataFrame:
+    """``(doc_id, band_idx, band_val)`` LSH band frame — the fixed-width
+    join keys of the MinHash candidate generation (identical banding to
+    minhash_lsh_pairs, factored for the cross-corpus variant)."""
+    rows_per_band = k // bands
+    sig = df.select(F.col("doc_id"), minhash_signature(text, k).alias("sig"))
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "", *[F.col("sig")[b * rows_per_band + r]
+                                  for r in range(rows_per_band)]
+                        ).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_val")
+
+
+def minhash_cross_pairs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: Optional[int] = 500,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs: ``(new_id, ref_id, jaccard)``
+    for every ``new_df`` document whose token Jaccard with a ``ref_df``
+    document is >= the threshold — the incremental-ingest form of
+    ``minhash_lsh_pairs`` ("is this new batch already in the training
+    corpus?"), and the near-dup analogue of the ``decontam`` exact
+    n-gram screen.
+
+    Same scale guards as the within-corpus op: the band join carries
+    id-only fixed-width keys, and the hot-bucket cap applies to the
+    REFERENCE side (the 100-TB side — a degenerate reference bucket is
+    what explodes; the new batch is the small increment and joins
+    whole).  Candidates are bounded by
+    ``bands * |new| * max_bucket_size``.  The equi-join on
+    (band_idx, band_val) hash-partitions both sides; at a real 1000:1
+    corpus ratio the banded new side broadcasts.
+    """
+    nb = _band_frame(new_df, text, k, bands)
+    rb = _band_frame(ref_df, text, k, bands)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_val")
+        rb = (
+            rb.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    cand = (
+        nb.alias("n")
+        .join(rb.alias("r"),
+              (F.col("n.band_idx") == F.col("r.band_idx"))
+              & (F.col("n.band_val") == F.col("r.band_val")))
+        .select(F.col("n.doc_id").alias("new_id"),
+                F.col("r.doc_id").alias("ref_id"))
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+    nt = new_df.select(F.col("doc_id").alias("new_id"),
+                       distinct_tokens_col(text).alias("toks_n"))
+    rt = ref_df.select(F.col("doc_id").alias("ref_id"),
+                       distinct_tokens_col(text).alias("toks_r"))
+    jac = F.size(F.array_intersect("toks_n", "toks_r")) / F.size(
+        F.array_union("toks_n", "toks_r")
+    )
+    return (
+        cand.join(nt, "new_id").join(rt, "ref_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "ref_id", "jaccard")
+    )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: Optional[int] = 500,
+) -> DataFrame:
+    """The ``new_df`` rows that are NOT near-duplicates of anything in
+    ``ref_df`` (left-anti on ``minhash_cross_pairs`` matches) — the
+    ingest filter a training-data pipeline runs on every new crawl batch
+    before appending to the corpus."""
+    matches = minhash_cross_pairs(
+        new_df, ref_df, text, k, bands, jaccard_threshold, max_bucket_size
+    ).select(F.col("new_id").alias("doc_id")).distinct()
+    return new_df.join(matches, "doc_id", "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -82,3 +82,42 @@ def test_asof_preserves_left_row_count(spark):
     # every matched ts is <= the left ts
     bad = joined.filter("ts_r IS NOT NULL AND ts_r > ts").count()
     assert bad == 0
+
+
+def test_latest_by_key(spark):
+    from kgpipe.temporal import latest_by_key
+
+    rows = [
+        ("u1", "status", "new", _ts(1)),
+        ("u1", "status", "active", _ts(5)),
+        ("u1", "plan", "free", _ts(2)),
+        ("u2", "status", "banned", _ts(9)),
+        # duplicate-ts tie -> greatest obj wins deterministically
+        ("u2", "plan", "a", _ts(3)), ("u2", "plan", "b", _ts(3)),
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj", "ts"])
+    got = {(r["subj"], r["pred"]): r["obj"]
+           for r in latest_by_key(df).collect()}
+    assert got == {("u1", "status"): "active", ("u1", "plan"): "free",
+                   ("u2", "status"): "banned", ("u2", "plan"): "b"}
+
+
+def test_minhash_cross_and_dedup_against(spark):
+    from kgpipe.textops import dedup_against, minhash_cross_pairs
+
+    ref = spark.createDataFrame(
+        [(i, f"reference document number {i} with shared words alpha "
+             f"beta gamma delta epsilon zeta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100, "reference document number 3 with shared words alpha "
+               "beta gamma delta epsilon zeta"),   # exact dup of ref 3
+         (101, "completely different content about quantum chromodynamics "
+               "lattice simulations")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_cross_pairs(new, ref, jaccard_threshold=0.9).collect()
+    assert {(r["new_id"], r["ref_id"]) for r in pairs} == {(100, 3)}
+    kept = dedup_against(new, ref, jaccard_threshold=0.9)
+    assert [r["doc_id"] for r in kept.collect()] == [101]
