@@ -1228,6 +1228,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", "event_type", "props", "ts")
         return latest_by_key(ev, keys=("user_id", "event_type"), ts="ts")
 
+    def q_validity_state(spark, sf_dir):
+        from kgpipe.temporal import validity_intervals
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_type", "props", "ts")
+        return validity_intervals(ev, keys=("user_id", "event_type"),
+                                  ts="ts")
+
     def q_minhash_cross(spark, sf_dir):
         from kgpipe.textops import minhash_cross_pairs
 
@@ -1634,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "asof_events": q_asof_events,
         "latest_state": q_latest_state,
+        "validity_state": q_validity_state,
         "minhash_cross": q_minhash_cross,
         "label_match": q_label_match,
         "snapshot_diff": q_snapshot_diff,
@@ -2431,6 +2440,13 @@ SELECT user_id, event_type, props, ts FROM (
                             ORDER BY ts DESC, props DESC) AS rk
   FROM events)
 WHERE rk = 1""",
+        # SCD-2 validity ranges over the same key (lead window)
+        "validity_state": """
+SELECT user_id, event_type, props, ts,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts ASC, props ASC) AS valid_to
+FROM events""",
         # cross-corpus MinHash near-dup (new batch vs reference corpus);
         # banding identical to minhash_pairs, cap on the reference side
         "minhash_cross": """

@@ -126,3 +126,31 @@ def latest_by_key(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def validity_intervals(
+    df: DataFrame,
+    keys: Sequence[str] = ("subj", "pred"),
+    ts: str = "ts",
+    tie_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Turn an append-only assertion log into SCD-2 validity ranges: each
+    row gains ``valid_from`` (its own ``ts``) and ``valid_to`` (the next
+    assertion's ``ts`` for the same ``keys``, NULL while still current).
+    ``latest_by_key`` == the ``valid_to IS NULL`` slice of this view.
+
+    Same single-exchange window shape as ``latest_by_key`` (hash
+    partition on ``keys``, one sort); ordering ties at equal ``ts`` are
+    broken by ``tie_cols`` ascending (default: all remaining columns) so
+    interval chaining is deterministic.
+    """
+    keys = list(keys)
+    if tie_cols is None:
+        tie_cols = [c for c in df.columns if c not in keys and c != ts]
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in tie_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.select(
+        *df.columns,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+    )

@@ -121,3 +121,27 @@ def test_minhash_cross_and_dedup_against(spark):
     assert {(r["new_id"], r["ref_id"]) for r in pairs} == {(100, 3)}
     kept = dedup_against(new, ref, jaccard_threshold=0.9)
     assert [r["doc_id"] for r in kept.collect()] == [101]
+
+
+def test_validity_intervals(spark):
+    from kgpipe.temporal import latest_by_key, validity_intervals
+
+    rows = [
+        ("u1", "status", "new", _ts(1)),
+        ("u1", "status", "active", _ts(5)),
+        ("u1", "status", "banned", _ts(9)),
+        ("u2", "status", "new", _ts(2)),
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj", "ts"])
+    iv = {(r["subj"], r["obj"]): (r["valid_from"], r["valid_to"])
+          for r in validity_intervals(df).collect()}
+    assert iv[("u1", "new")] == (_ts(1), _ts(5))
+    assert iv[("u1", "active")] == (_ts(5), _ts(9))
+    assert iv[("u1", "banned")] == (_ts(9), None)
+    assert iv[("u2", "new")] == (_ts(2), None)
+    # the open intervals are exactly the latest_by_key view
+    open_rows = validity_intervals(df).filter("valid_to IS NULL") \
+        .select("subj", "pred", "obj", "ts")
+    latest = latest_by_key(df)
+    assert sorted(map(tuple, open_rows.collect())) == \
+        sorted(map(tuple, latest.collect()))
