@@ -1272,6 +1272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return label_propagation(_triples(spark, sf_dir), iters=4)
 
+    def q_neg_samples(spark, sf_dir):
+        from kgpipe.kgtrain import negative_samples
+
+        return negative_samples(_triples(spark, sf_dir), k=2,
+                                n_buckets=64)
+
     def q_functional_violations(spark, sf_dir):
         from kgpipe.quality import functional_violations
 
@@ -1646,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cross": q_minhash_cross,
         "label_match": q_label_match,
         "snapshot_diff": q_snapshot_diff,
+        "neg_samples": q_neg_samples,
         "functional_violations": q_functional_violations,
         "domain_range": q_domain_range,
         "dr_violations": q_dr_violations,
@@ -2413,6 +2420,41 @@ SELECT subj, pred, obj, min(hop)::int AS hop FROM (
   SELECT e.subj, e.pred, e.obj, dist.d + 1 AS hop
   FROM e JOIN dist ON e.obj = dist.id)
 GROUP BY subj, pred, obj""",
+        # deterministic filtered negative sampling (kgpipe.kgtrain):
+        # md5 bucket/index arithmetic identical in both engines
+        "neg_samples": f"""
+{_SQL_TRIPLES},
+t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM tri),
+ents AS (SELECT DISTINCT entity FROM (
+  SELECT subj AS entity FROM t UNION ALL SELECT obj FROM t)),
+ei AS MATERIALIZED (
+  SELECT entity, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY entity) - 1 AS idx
+  FROM (SELECT entity,
+               ('0x' || substr(md5(entity || '|ent'), 1, 8))::bigint % 64
+                 AS bucket
+        FROM ents)),
+cnts AS MATERIALIZED (
+  SELECT bucket, count(*) AS cnt,
+         row_number() OVER (ORDER BY bucket) - 1 AS bseq
+  FROM ei GROUP BY bucket),
+nb AS (SELECT count(*) AS nb FROM cnts),
+drawn AS (
+  SELECT t.subj, t.pred, t.obj, i.neg_i,
+         ('0x' || substr(md5(t.subj || '|' || t.pred || '|' || t.obj
+            || '|' || i.neg_i::varchar || '|b'), 1, 8))::bigint
+           % nb.nb AS bseq,
+         ('0x' || substr(md5(t.subj || '|' || t.pred || '|' || t.obj
+            || '|' || i.neg_i::varchar || '|p'), 1, 8))::bigint AS ph
+  FROM t, (SELECT unnest([0, 1]) AS neg_i) i, nb),
+picked AS (
+  SELECT d.subj, d.pred, d.obj, d.neg_i, ei.entity AS neg_obj
+  FROM drawn d
+  JOIN cnts ON d.bseq = cnts.bseq
+  JOIN ei ON ei.bucket = cnts.bucket AND ei.idx = d.ph % cnts.cnt)
+SELECT subj, pred, obj, neg_i, neg_obj FROM picked p
+WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.subj = p.subj
+                  AND t.pred = p.pred AND t.obj = p.neg_obj)""",
         # KG quality checks (kgpipe.quality): functional-predicate
         # violations, host-level domain/range namespace signatures, minority
         # signature flagging (two planted anomalies mirror q_dr_violations),
