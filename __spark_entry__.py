@@ -1272,6 +1272,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return label_propagation(_triples(spark, sf_dir), iters=4)
 
+    def q_curate(spark, sf_dir):
+        """Composite curation pipeline: langid -> quality gate -> PII
+        redaction -> exact dedup keep-one.  Chains the individually
+        oracle-verified hygiene operators end-to-end — the shape of a
+        production pre-training ingest job."""
+        from kgpipe.corpus import redact_pii
+        from kgpipe.textops import dedup_exact, langid_scores, tokens_col
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        lang = langid_scores(d).select("doc_id", "lang_pred")
+        toks = tokens_col("text")
+        n_tok = F.size(toks)
+        sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+        keep = (
+            (n_tok >= 5)
+            & (sum_len >= 2 * n_tok) & (sum_len <= 12 * n_tok)
+            & (2 * n_alpha >= F.length(F.col("text")))
+        )
+        kept = (
+            d.join(lang, "doc_id")
+            .filter(F.col("lang_pred") == "en")
+            .filter(keep)
+        )
+        red = redact_pii(kept).select(
+            "doc_id", F.col("redacted").alias("text"))
+        return dedup_exact(red).select(
+            "doc_id", F.md5("text").alias("text_md5"))
+
     def q_neg_samples(spark, sf_dir):
         from kgpipe.kgtrain import negative_samples
 
@@ -1653,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_match": q_label_match,
         "snapshot_diff": q_snapshot_diff,
         "neg_samples": q_neg_samples,
+        "curate": q_curate,
         "functional_violations": q_functional_violations,
         "domain_range": q_domain_range,
         "dr_violations": q_dr_violations,
@@ -2420,6 +2450,37 @@ SELECT subj, pred, obj, min(hop)::int AS hop FROM (
   SELECT e.subj, e.pred, e.obj, dist.d + 1 AS hop
   FROM e JOIN dist ON e.obj = dist.id)
 GROUP BY subj, pred, obj""",
+        # composite curation pipeline: langid -> quality gate -> PII
+        # redaction -> exact dedup keep-one (each stage individually
+        # oracle-verified; this row pins the COMPOSITION)
+        "curate": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+s AS (SELECT doc_id, {lang_scores} FROM t),
+b AS (SELECT *, {lang_best} AS best FROM s),
+l AS (SELECT doc_id, {lang_pred} AS lang_pred FROM b),
+kept AS (
+  SELECT t.doc_id, t.text FROM t JOIN l USING (doc_id)
+  WHERE l.lang_pred = 'en'
+    AND len(w) >= 5
+    AND coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+        >= 2 * len(w)
+    AND coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+        <= 12 * len(w)
+    AND 2 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        >= length(text)),
+r AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_IPV4}', '<IP>', 'g'),
+          '{_PII_PHONE}', '<PHONE>', 'g') AS text
+      FROM kept),
+dd AS (SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       FROM r)
+SELECT doc_id, md5(text) AS text_md5 FROM dd WHERE rn = 1""",
         # deterministic filtered negative sampling (kgpipe.kgtrain):
         # md5 bucket/index arithmetic identical in both engines
         "neg_samples": f"""
