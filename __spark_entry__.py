@@ -1221,6 +1221,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return asof_join(clicks, purch, on="user_id", ts="ts",
                          value_cols=["pval"])
 
+    def q_stream_latest(spark, sf_dir):
+        # streaming/batch parity: an AvailableNow incremental upsert of
+        # the events table into the snapshot-committed state store must
+        # hash against the batch latest-per-key SQL (latest-wins is
+        # associative + commutative given the deterministic tie-break,
+        # so micro-batch boundaries cannot change the result)
+        import tempfile
+
+        from kgpipe.streaming import stream_latest_state
+
+        base = tempfile.mkdtemp(prefix="kgpipe_stream_latest_")
+        in_dir = f"{base}/in"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_type", "props", "ts")
+        ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+        return stream_latest_state(
+            spark, in_dir, f"{base}/state", f"{base}/ckpt",
+            keys=("user_id", "event_type"), ts="ts",
+            max_files_per_trigger=2,
+        )
+
     def q_latest_state(spark, sf_dir):
         from kgpipe.temporal import latest_by_key
 
@@ -1677,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "asof_events": q_asof_events,
         "latest_state": q_latest_state,
+        "stream_latest": q_stream_latest,
         "validity_state": q_validity_state,
         "minhash_cross": q_minhash_cross,
         "label_match": q_label_match,
@@ -2537,6 +2559,14 @@ FROM clicks c ASOF LEFT JOIN purch p
   ON c.user_id = p.user_id AND c.ts >= p.ts""",
         # SCD-style latest-per-key current-state view
         "latest_state": """
+SELECT user_id, event_type, props, ts FROM (
+  SELECT user_id, event_type, props, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, props DESC) AS rk
+  FROM events)
+WHERE rk = 1""",
+        # streaming upsert parity: final state == batch latest-per-key
+        "stream_latest": """
 SELECT user_id, event_type, props, ts FROM (
   SELECT user_id, event_type, props, ts,
          row_number() OVER (PARTITION BY user_id, event_type

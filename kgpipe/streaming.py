@@ -383,3 +383,59 @@ def stream_triples(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_latest_state(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    keys=("user_id", "event_type"),
+    ts: str = "ts",
+    tie_cols=None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Incrementally materialized current-state table: an AvailableNow
+    stream over a growing fact directory, upserting each micro-batch into
+    a snapshot-committed state store via ``foreachBatch`` — the streaming
+    rendering of ``kgpipe.temporal.latest_by_key``.
+
+    Each batch computes its batch-local latest rows (one window), merges
+    them with the committed state (union + the same window — latest-wins
+    is associative/commutative given the deterministic tie-break, so
+    batch ORDER does not matter), and commits the result as the next
+    ``snap-N`` (readers always see a complete table; a crash mid-commit
+    leaves the previous snapshot visible).  At-least-once replays are
+    absorbed by idempotence: re-upserting the same rows cannot change a
+    latest-wins state.  State size is bounded by the key-space, not the
+    stream length.  Returns the final committed state as a DataFrame.
+    """
+    from .temporal import (
+        latest_by_key, read_state_snapshot, write_state_snapshot,
+    )
+
+    reader = spark.readStream.schema(spark.read.parquet(input_path).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    src = reader.parquet(input_path)
+
+    def upsert(batch_df, _batch_id):
+        new = latest_by_key(batch_df, keys, ts, tie_cols)
+        try:
+            cur = read_state_snapshot(batch_df.sparkSession, state_path)
+            merged = latest_by_key(cur.unionByName(new), keys, ts, tie_cols)
+        except FileNotFoundError:
+            merged = new
+        # materialize BEFORE committing: the merge plan reads the current
+        # snapshot directory, which the commit is about to supersede
+        write_state_snapshot(merged.localCheckpoint(eager=True), state_path)
+
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_state_snapshot(spark, state_path)

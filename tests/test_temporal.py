@@ -145,3 +145,39 @@ def test_validity_intervals(spark):
     latest = latest_by_key(df)
     assert sorted(map(tuple, open_rows.collect())) == \
         sorted(map(tuple, latest.collect()))
+
+
+def test_stream_latest_state(spark, tmp_path):
+    from kgpipe.streaming import stream_latest_state
+    from kgpipe.temporal import latest_by_key
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cols = "subj string, pred string, obj string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [("u1", "status", "new", _ts(1)), ("u2", "status", "new", _ts(2))],
+        cols)
+    b2 = spark.createDataFrame(
+        [("u1", "status", "active", _ts(5)), ("u3", "plan", "pro", _ts(3))],
+        cols)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    got = stream_latest_state(spark, in_dir, state, ckpt,
+                              keys=("subj", "pred"),
+                              max_files_per_trigger=1)
+    want = latest_by_key(b1.unionByName(b2), keys=("subj", "pred"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # a later event arrives -> rerun picks up ONLY the new file and
+    # upserts it into the committed state
+    b3 = spark.createDataFrame([("u2", "status", "banned", _ts(9))], cols)
+    b3.coalesce(1).write.mode("append").parquet(in_dir)
+    got2 = stream_latest_state(spark, in_dir, state, ckpt,
+                               keys=("subj", "pred"))
+    vals = {(r["subj"], r["pred"]): r["obj"] for r in got2.collect()}
+    assert vals[("u2", "status")] == "banned"
+    assert vals[("u1", "status")] == "active"
+    assert len(vals) == 3
