@@ -1293,6 +1293,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return label_propagation(_triples(spark, sf_dir), iters=4)
 
+    def q_verb_relations(spark, sf_dir):
+        from kgpipe.triples import verb_relations
+
+        return verb_relations(
+            _transcripts(spark, sf_dir), _mentions(spark, sf_dir),
+            verbs=["join", "merge", "filter", "scan"],
+        )
+
     def q_curate(spark, sf_dir):
         """Composite curation pipeline: langid -> quality gate -> PII
         redaction -> exact dedup keep-one.  Chains the individually
@@ -1704,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_match": q_label_match,
         "snapshot_diff": q_snapshot_diff,
         "neg_samples": q_neg_samples,
+        "verb_relations": q_verb_relations,
         "curate": q_curate,
         "functional_violations": q_functional_violations,
         "domain_range": q_domain_range,
@@ -2472,6 +2481,22 @@ SELECT subj, pred, obj, min(hop)::int AS hop FROM (
   SELECT e.subj, e.pred, e.obj, dist.d + 1 AS hop
   FROM e JOIN dist ON e.obj = dist.id)
 GROUP BY subj, pred, obj""",
+        # verb-mediated relation extraction: typed predicate between
+        # ordered same-turn mention spans (reuses the mentions/offs CTEs)
+        "verb_relations": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+vt AS (SELECT conv_id, turn_idx, lower(tok) AS verb, begin AS vbegin
+       FROM offs
+       WHERE lower(tok) IN ('join', 'merge', 'filter', 'scan'))
+SELECT DISTINCT a.concept_id AS subj_concept, vt.verb,
+       b.concept_id AS obj_concept, a.conv_id, a.turn_idx
+FROM mentions a
+JOIN mentions b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+ AND a."end" < b.begin
+JOIN vt
+  ON vt.conv_id = a.conv_id AND vt.turn_idx = a.turn_idx
+ AND vt.vbegin > a."end" AND vt.vbegin < b.begin""",
         # composite curation pipeline: langid -> quality gate -> PII
         # redaction -> exact dedup keep-one (each stage individually
         # oracle-verified; this row pins the COMPOSITION)

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 OA_HAS_BODY = "http://www.w3.org/ns/oa#hasBody"
@@ -504,3 +504,66 @@ def merge_triples_snapshot(
     except FileNotFoundError:
         merged = new_triples.distinct()
     return write_triples_snapshot(merged, path, n_buckets=n_buckets)
+
+
+def verb_relations(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    verbs,
+    concept_col: str = "concept_id",
+) -> DataFrame:
+    """Verb-mediated relation extraction: typed predicate triples
+    ``(subj_concept, verb, obj_concept, conv_id, turn_idx)`` for every
+    ordered pair of same-turn mentions with one of the trigger ``verbs``
+    strictly between their spans ("spark JOINS window" →
+    (spark, joins, window)) — the pattern-based step from co-occurrence
+    edges to TYPED relations that KG construction pipelines layer on top
+    of entity detection.
+
+    Offsets reuse the detector's space-tokenization: token begin = sum of
+    (len+1) over the turn's earlier tokens (one window exchange keyed on
+    the turn).  The mention-pair and verb joins are turn-local equi-joins
+    with range filters — candidate counts are bounded per turn, never
+    corpus-quadratic, and everything hash-partitions on (conv_id,
+    turn_idx).  Deterministic; duplicates collapse via DISTINCT.
+    """
+    vlist = [v.lower() for v in verbs]
+    toks = transcripts.select(
+        "conv_id", "turn_idx",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = (
+        Window.partitionBy("conv_id", "turn_idx")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vtoks = (
+        toks.withColumn(
+            "vbegin",
+            F.coalesce(F.sum(F.length("tok") + 1).over(w),
+                       F.lit(0)).cast("int"),
+        )
+        .filter(F.lower(F.col("tok")).isin(vlist))
+        .select("conv_id", "turn_idx", F.lower("tok").alias("verb"),
+                "vbegin")
+    )
+    a = mentions.select(
+        "conv_id", "turn_idx",
+        F.col(concept_col).alias("subj_concept"),
+        F.col("end").alias("a_end"),
+    )
+    b = mentions.select(
+        "conv_id", "turn_idx",
+        F.col(concept_col).alias("obj_concept"),
+        F.col("begin").alias("b_begin"),
+    )
+    pairs = a.join(b, ["conv_id", "turn_idx"]).filter(
+        F.col("a_end") < F.col("b_begin")
+    )
+    rel = pairs.join(vtoks, ["conv_id", "turn_idx"]).filter(
+        (F.col("vbegin") > F.col("a_end"))
+        & (F.col("vbegin") < F.col("b_begin"))
+    )
+    return rel.select(
+        "subj_concept", "verb", "obj_concept", "conv_id", "turn_idx"
+    ).distinct()

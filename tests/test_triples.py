@@ -248,3 +248,30 @@ def test_merge_triples_snapshot(spark, tmp_path):
     # time travel: snap-1 still readable with its original 2 rows
     old = spark.read.parquet(f"{base}/snap-1")
     assert old.count() == 2
+
+
+def test_verb_relations(spark):
+    from kgpipe.triples import verb_relations
+
+    t = spark.createDataFrame(
+        [("c1", 0, "spark joins window fast", None, None, None),
+         ("c1", 1, "window precedes spark", None, None, None),
+         ("c1", 2, "spark near window", None, None, None)],
+        "conv_id string, turn_idx int, text string, role string,"
+        " tool string, ts timestamp",
+    )
+    # token-aligned mention spans (as the detector emits them)
+    m = spark.createDataFrame(
+        [("c1", 0, "T:SPARK", 0, 5), ("c1", 0, "T:WINDOW", 12, 18),
+         ("c1", 1, "T:WINDOW", 0, 6), ("c1", 1, "T:SPARK", 16, 21),
+         ("c1", 2, "T:SPARK", 0, 5), ("c1", 2, "T:WINDOW", 11, 17)],
+        "conv_id string, turn_idx int, concept_id string,"
+        " begin int, end int",
+    )
+    got = verb_relations(t, m, verbs=["joins", "precedes"]).collect()
+    rels = {(r["subj_concept"], r["verb"], r["obj_concept"], r["turn_idx"])
+            for r in got}
+    # turn 0: spark -joins-> window; turn 1: window -precedes-> spark;
+    # turn 2: no trigger verb between the mentions
+    assert rels == {("T:SPARK", "joins", "T:WINDOW", 0),
+                    ("T:WINDOW", "precedes", "T:SPARK", 1)}
