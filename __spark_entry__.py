@@ -1293,6 +1293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return label_propagation(_triples(spark, sf_dir), iters=4)
 
+    def q_conv_features(spark, sf_dir):
+        from kgpipe.convops import conversation_features
+
+        return conversation_features(_transcripts(spark, sf_dir))
+
     def q_verb_relations(spark, sf_dir):
         from kgpipe.triples import verb_relations
 
@@ -1713,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "neg_samples": q_neg_samples,
         "verb_relations": q_verb_relations,
+        "conv_features": q_conv_features,
         "curate": q_curate,
         "functional_violations": q_functional_violations,
         "domain_range": q_domain_range,
@@ -2481,6 +2487,16 @@ SELECT subj, pred, obj, min(hop)::int AS hop FROM (
   SELECT e.subj, e.pred, e.obj, dist.d + 1 AS hop
   FROM e JOIN dist ON e.obj = dist.id)
 GROUP BY subj, pred, obj""",
+        # per-conversation curation features (one conv_id aggregate)
+        "conv_features": f"""
+WITH {_SQL_TRANSCRIPTS.lstrip()}
+SELECT conv_id, count(*) AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_calls,
+       sum(length(text)) AS total_chars,
+       max(length(text)) AS max_turn_chars
+FROM transcripts GROUP BY conv_id""",
         # verb-mediated relation extraction: typed predicate between
         # ordered same-turn mention spans (reuses the mentions/offs CTEs)
         "verb_relations": f"""

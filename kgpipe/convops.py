@@ -74,3 +74,23 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_transitions"),
         F.countDistinct("conv_id").alias("n_convs"),
     )
+
+
+def conversation_features(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation curation features: ``(conv_id, n_turns, n_user,
+    n_assistant, n_tool_calls, total_chars, max_turn_chars)`` — the
+    aggregate profile transcript-level training-data filters select on
+    (dialogue length, speaker balance, tool usage, degenerate-turn
+    detection).  One hash aggregation keyed on conv_id with map-side
+    partial aggregation; every feature is integer-exact so the whole
+    profile is oracle-hashable.
+    """
+    return transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("int")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("int"))
+        .alias("n_assistant"),
+        F.sum(F.col("tool").isNotNull().cast("int")).alias("n_tool_calls"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max(F.length("text")).alias("max_turn_chars"),
+    )

@@ -86,3 +86,22 @@ def test_role_transitions(spark):
     assert got[("assistant", "user")] == (1, 1)
     assert got[("assistant", "tool")] == (1, 1)
     assert len(got) == 3
+
+
+def test_conversation_features(spark):
+    from kgpipe.convops import conversation_features
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, None),
+         ("c1", 1, "assistant", "hello there", None, None),
+         ("c1", 2, "tool", "result", "search", None),
+         ("c2", 0, "user", "x", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    got = {r["conv_id"]: r for r in conversation_features(t).collect()}
+    c1 = got["c1"]
+    assert (c1["n_turns"], c1["n_user"], c1["n_assistant"],
+            c1["n_tool_calls"]) == (3, 1, 1, 1)
+    assert c1["total_chars"] == 2 + 11 + 6 and c1["max_turn_chars"] == 11
+    assert got["c2"]["n_turns"] == 1
