@@ -181,3 +181,28 @@ def test_stream_latest_state(spark, tmp_path):
     assert vals[("u2", "status")] == "banned"
     assert vals[("u1", "status")] == "active"
     assert len(vals) == 3
+
+
+def test_state_snapshot_crash_consistency(spark, tmp_path):
+    import os
+
+    from kgpipe.temporal import read_state_snapshot, write_state_snapshot
+
+    path = str(tmp_path / "state")
+    df1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    assert write_state_snapshot(df1, path) == "snap-1"
+
+    # simulate a crash mid-write of snap-2: orphaned .inprogress dir,
+    # pointer still on snap-1 -> readers see the old complete state
+    os.makedirs(os.path.join(path, "snap-2.inprogress"))
+    with open(os.path.join(path, "snap-2.inprogress", "junk"), "w") as fh:
+        fh.write("partial")
+    got = read_state_snapshot(spark, path)
+    assert [tuple(r) for r in got.collect()] == [("a", 1)]
+
+    # the retried commit overwrites the orphan and flips atomically
+    df2 = spark.createDataFrame([("a", 2), ("b", 1)], "k string, v int")
+    assert write_state_snapshot(df2, path) == "snap-2"
+    assert read_state_snapshot(spark, path).count() == 2
+    # previous snapshot remains readable (time travel)
+    assert spark.read.parquet(os.path.join(path, "snap-1")).count() == 1
