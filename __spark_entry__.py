@@ -18,7 +18,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -240,6 +240,45 @@ _SQL_UND = """
 e_d AS MATERIALIZED (SELECT DISTINCT subj, obj FROM tri WHERE subj <> obj),
 und AS MATERIALIZED (SELECT subj AS a, obj AS b FROM e_d
         UNION SELECT obj AS a, subj AS b FROM e_d)"""
+
+
+# DuckDB requires the RECURSIVE keyword on the WITH chain when any member
+# is recursive (the bfs_dist / rdfs_types oracles); the triple-construction
+# prefix itself is unchanged
+_SQL_TRIPLES_REC = _SQL_TRIPLES.replace("WITH ", "WITH RECURSIVE ", 1)
+
+# RDFS vocabulary for the rdfs_types contract row: domain/range
+# declarations over the kgpipe predicates plus a 3-level class hierarchy
+# (mirrored literally in the oracle's VALUES lists)
+_KGP = "http://purl.org/kgpipe/"
+_RDFS_DOMAINS = [
+    (_KGP + "hasRole", "kgp:Turn"),
+    (_KGP + "usedTool", "kgp:Turn"),
+    (_KGP + "denotes", "kgp:Turn"),
+    ("http://purl.org/dc/terms/isPartOf", "kgp:Turn"),
+    (_KGP + "cooccursWith", "kgp:Concept"),
+]
+_RDFS_RANGES = [
+    (_KGP + "denotes", "kgp:Concept"),
+    ("http://purl.org/dc/terms/isPartOf", "kgp:Conversation"),
+    (_KGP + "cooccursWith", "kgp:Concept"),
+]
+_RDFS_SUBCLASS = [
+    ("kgp:Turn", "kgp:DiscourseElement"),
+    ("kgp:Conversation", "kgp:DiscourseElement"),
+    ("kgp:DiscourseElement", "kgp:Entity"),
+    ("kgp:Concept", "kgp:Entity"),
+    ("http://purl.obolibrary.org/obo/IAO_0000310", "kgp:Document"),
+    ("kgp:Document", "kgp:Entity"),
+]
+
+
+def _sql_values(rows, cols) -> str:
+    body = ", ".join(
+        "(" + ", ".join("'" + v.replace("'", "''") + "'" for v in r) + ")"
+        for r in rows
+    )
+    return f"({', '.join(cols)}) AS (VALUES {body})"
 
 
 def _sql_k_core(k: int, iters: int) -> str:
@@ -1293,6 +1332,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return label_propagation(_triples(spark, sf_dir), iters=4)
 
+    def q_closure(spark, sf_dir):
+        """Transitive closure (log-round doubling) of a depth-~log2(N)
+        binary tree over the orders rank sequence: node i's parent is
+        i // 2, so the ancestor set is every prefix of i's binary
+        expansion — a deep deterministic hierarchy both engines derive
+        identically (DuckDB mirrors with a recursive CTE).  The
+        single-partition row_number here is harness edge synthesis, not
+        the operator (the closure itself is the distributed part)."""
+        from kgpipe.infer import transitive_closure
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        rk = F.row_number().over(Window.orderBy("o_orderkey"))
+        e = (
+            o.select(rk.alias("rk"))
+            .filter(F.col("rk") > 1)
+            .select(
+                F.col("rk").cast("string").alias("child"),
+                F.floor(F.col("rk") / 2).cast("int").cast("string")
+                .alias("parent"),
+            )
+        )
+        return transitive_closure(e)
+
+    def q_closure_delta(spark, sf_dir):
+        """Incremental closure maintenance: close the orders rank tree
+        MINUS every 7th edge, then fold those edges back in with
+        closure_delta.  The oracle is the full-recompute recursive CTE
+        over ALL edges — green means incremental == from-scratch."""
+        from kgpipe.infer import closure_delta, transitive_closure
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        rk = F.row_number().over(Window.orderBy("o_orderkey"))
+        e = (
+            o.select(rk.alias("rk"))
+            .filter(F.col("rk") > 1)
+            .select(
+                F.col("rk").alias("rki"),
+                F.col("rk").cast("string").alias("child"),
+                F.floor(F.col("rk") / 2).cast("int").cast("string")
+                .alias("parent"),
+            )
+        )
+        base = e.filter(F.col("rki") % 7 != 0).select("child", "parent")
+        delta = e.filter(F.col("rki") % 7 == 0).select("child", "parent")
+        return closure_delta(transitive_closure(base), delta)
+
+    def q_rdfs_types(spark, sf_dir):
+        """RDFS entailment (rdfs2 domain, rdfs3 range, rdfs9/11 subclass
+        closure) over the kgpipe triple table with a small declared
+        vocabulary: the entailed (entity, cls) type table."""
+        from kgpipe.infer import rdfs_entail
+
+        tri = _triples(spark, sf_dir)
+        domains = spark.createDataFrame(
+            _RDFS_DOMAINS, "pred string, cls string")
+        ranges = spark.createDataFrame(
+            _RDFS_RANGES, "pred string, cls string")
+        sub = spark.createDataFrame(
+            _RDFS_SUBCLASS, "child string, parent string")
+        return rdfs_entail(
+            tri, domains=domains, ranges=ranges, subclass_edges=sub)
+
+    def q_bfs_dist(spark, sf_dir):
+        from kgpipe.graph import bfs_distances
+
+        return bfs_distances(
+            _triples(spark, sf_dir),
+            ["http://purl.obolibrary.org/obo/T_0001"],
+            max_hops=3,
+        )
+
+    def q_bgp_match(spark, sf_dir):
+        """Conjunctive graph-pattern query (SPARQL BGP core): turns that
+        denote a concept co-occurring with another concept, with the
+        turn's role — a 3-pattern chain compiled to two equi-joins."""
+        from kgpipe.infer import match_pattern
+        from kgpipe.triples import PRED_COOCCURS, PRED_DENOTES, PRED_ROLE
+
+        return match_pattern(_triples(spark, sf_dir), [
+            ("?t", PRED_DENOTES, "?c"),
+            ("?t", PRED_ROLE, "?r"),
+            ("?c", PRED_COOCCURS, "?d"),
+        ])
+
+    def q_provenance(spark, sf_dir):
+        from kgpipe.quality import triple_provenance
+
+        return triple_provenance(_triples(spark, sf_dir))
+
+    def q_resolve_functional(spark, sf_dir):
+        from kgpipe.quality import resolve_functional
+        from kgpipe.triples import PRED_ROLE, PRED_TOOL
+
+        return resolve_functional(
+            _triples(spark, sf_dir), [PRED_ROLE, PRED_TOOL])
+
     def q_conv_features(spark, sf_dir):
         from kgpipe.convops import conversation_features
 
@@ -1709,6 +1844,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_network": q_ego_network,
         "k_core": q_k_core,
         "label_propagation": q_label_propagation,
+        "closure": q_closure,
+        "closure_delta": q_closure_delta,
+        "rdfs_types": q_rdfs_types,
+        "bfs_dist": q_bfs_dist,
+        "bgp_match": q_bgp_match,
+        "provenance": q_provenance,
+        "resolve_functional": q_resolve_functional,
         "asof_events": q_asof_events,
         "latest_state": q_latest_state,
         "stream_latest": q_stream_latest,
@@ -2587,6 +2729,100 @@ WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.subj = p.subj
         # algorithms, unrolled level-by-level for DuckDB
         "k_core": _sql_k_core(k=2, iters=8),
         "label_propagation": _sql_lpa(iters=4),
+        # transitive closure: recursive-CTE ancestor walk vs the Spark
+        # log-round doubling (kgpipe.infer.transitive_closure) on the
+        # binary tree over the orders rank sequence
+        "closure": """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT rk::varchar AS child, (rk // 2)::varchar AS parent FROM (
+    SELECT row_number() OVER (ORDER BY o_orderkey) AS rk FROM orders)
+  WHERE rk > 1),
+c(node, anc) AS (
+  SELECT child, parent FROM e
+  UNION
+  SELECT c.node, e.parent FROM c JOIN e ON c.anc = e.child)
+SELECT node, anc FROM c""",
+        # incremental closure: the oracle deliberately recomputes the FULL
+        # closure over all edges — a green row proves
+        # closure_delta(closure(E \\ Δ), Δ) == closure(E)
+        "closure_delta": """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT rk::varchar AS child, (rk // 2)::varchar AS parent FROM (
+    SELECT row_number() OVER (ORDER BY o_orderkey) AS rk FROM orders)
+  WHERE rk > 1),
+c(node, anc) AS (
+  SELECT child, parent FROM e
+  UNION
+  SELECT c.node, e.parent FROM c JOIN e ON c.anc = e.child)
+SELECT node, anc FROM c""",
+        # RDFS entailment: asserted types + rdfs2/rdfs3 domain-range
+        # inference + rdfs9/11 propagation up the recursive subclass
+        # closure (kgpipe.infer.rdfs_entail)
+        "rdfs_types": f"""
+{_SQL_TRIPLES_REC},
+trid AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM tri),
+dom{_sql_values(_RDFS_DOMAINS, ["pred", "cls"])},
+rng{_sql_values(_RDFS_RANGES, ["pred", "cls"])},
+sub{_sql_values(_RDFS_SUBCLASS, ["child", "parent"])},
+clo(node, anc) AS (
+  SELECT child, parent FROM sub
+  UNION
+  SELECT c.node, s.parent FROM clo c JOIN sub s ON c.anc = s.child),
+base AS (
+  SELECT subj AS entity, obj AS cls FROM trid
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+  UNION ALL
+  SELECT t.subj AS entity, d.cls FROM trid t JOIN dom d ON t.pred = d.pred
+  UNION ALL
+  SELECT t.obj AS entity, r.cls FROM trid t JOIN rng r ON t.pred = r.pred)
+SELECT entity, cls FROM base
+UNION
+SELECT b.entity, c.anc AS cls FROM base b JOIN clo c ON b.cls = c.node""",
+        # multi-seed BFS min-distance: recursive bounded walk with a
+        # min-dist aggregate vs the Spark level-synchronous frontier BFS
+        # (kgpipe.graph.bfs_distances, undirected)
+        "bfs_dist": f"""
+{_SQL_TRIPLES_REC},{_SQL_UND},
+walk(id, d) AS (
+  SELECT 'http://purl.obolibrary.org/obo/T_0001' AS id, 0 AS d
+  UNION
+  SELECT u.b, w.d + 1 FROM walk w JOIN und u ON u.a = w.id WHERE w.d < 3)
+SELECT id AS entity, min(d)::int AS dist FROM walk GROUP BY id""",
+        # conjunctive graph-pattern (BGP) chain: the same 3-pattern query
+        # kgpipe.infer.match_pattern compiles, as explicit self-joins over
+        # the distinct triple set
+        "bgp_match": f"""
+{_SQL_TRIPLES},
+trid AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM tri)
+SELECT DISTINCT p1.subj AS t, p1.obj AS c, p2.obj AS r, p3.obj AS d
+FROM trid p1
+JOIN trid p2 ON p2.subj = p1.subj
+ AND p2.pred = 'http://purl.org/kgpipe/hasRole'
+JOIN trid p3 ON p3.subj = p1.obj
+ AND p3.pred = 'http://purl.org/kgpipe/cooccursWith'
+WHERE p1.pred = 'http://purl.org/kgpipe/denotes'""",
+        # per-triple provenance profile (kgpipe.quality.triple_provenance):
+        # support count, witnessing conversations, first asserting turn
+        "provenance": f"""
+{_SQL_TRIPLES}
+SELECT subj, pred, obj, count(*) AS n_support,
+       count(DISTINCT conv_id) AS n_convs,
+       min(turn_idx) AS first_turn
+FROM tri GROUP BY 1, 2, 3""",
+        # functional-predicate conflict resolution
+        # (kgpipe.quality.resolve_functional): majority object, obj-asc ties
+        "resolve_functional": f"""
+{_SQL_TRIPLES},
+cand AS (
+  SELECT subj, pred, obj, count(*) AS n_support FROM tri
+  WHERE pred IN ('http://purl.org/kgpipe/hasRole',
+                 'http://purl.org/kgpipe/usedTool')
+  GROUP BY 1, 2, 3)
+SELECT subj, pred, obj, n_support FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY subj, pred ORDER BY n_support DESC, obj ASC) AS rk
+  FROM cand)
+WHERE rk = 1""",
         # as-of join: DuckDB's native ASOF LEFT JOIN vs the Spark
         # union+window formulation (kgpipe.temporal.asof_join)
         "asof_events": """

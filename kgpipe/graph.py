@@ -381,6 +381,66 @@ def ego_network(
     )
 
 
+def bfs_distances(
+    triples: DataFrame,
+    seeds: list[str],
+    max_hops: int = 3,
+    directed: bool = False,
+    max_frontier: Optional[int] = 5_000_000,
+) -> DataFrame:
+    """Minimum hop distance from a SEED SET: ``(entity, dist:int)`` for
+    every entity within ``max_hops`` of any seed (seeds themselves at
+    dist 0; unreachable entities are absent).  ``directed=True`` follows
+    subj→obj edges only; the default measures over undirected edges.
+
+    Level-synchronous BFS by frontier semi-join — the same shape as
+    ``ego_network`` but multi-seed and returning the distance table
+    itself (the input to distance-bucketed features / locality joins).
+    One round per hop over the distinct edge set; frontiers are entity-id
+    sets joined as semi-joins (broadcast-capable at cluster scale), each
+    round ``localCheckpoint``ed so plan depth stays O(1), with the empty-
+    frontier early stop making ``max_hops`` a bound, not a cost floor.
+    ``max_frontier`` is the same fail-fast hub guard as ``ego_network``
+    (a frontier beyond it means the BFS has gone graph-scale).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if not seeds:
+        raise ValueError("bfs_distances requires at least one seed")
+    e = _edges(triples)
+    dist = e.sparkSession.createDataFrame(
+        [(s, 0) for s in sorted(set(seeds))], "entity string, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        fwd = e.join(
+            frontier.withColumnRenamed("entity", "subj"), "subj", "left_semi"
+        ).select(F.col("obj").alias("entity"))
+        step = fwd
+        if not directed:
+            bwd = e.join(
+                frontier.withColumnRenamed("entity", "obj"), "obj", "left_semi"
+            ).select(F.col("subj").alias("entity"))
+            step = fwd.unionAll(bwd)
+        frontier = (
+            step.distinct()
+            .join(dist.select("entity"), "entity", "left_anti")
+            .select("entity", F.lit(h).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        if max_frontier is not None and n_frontier > max_frontier:
+            raise ValueError(
+                f"bfs_distances frontier at hop {h} has {n_frontier} "
+                f"entities (> max_frontier={max_frontier}); raise it (or "
+                "pass None) if a graph-scale sweep is intended"
+            )
+        dist = dist.unionAll(frontier).localCheckpoint(eager=True)
+    return dist
+
+
 def _und_edges(triples: DataFrame) -> DataFrame:
     """Symmetric distinct edge set ``(a, b)`` of the entity graph with
     self-loops dropped — the degree domain for ``k_core`` and

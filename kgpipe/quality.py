@@ -163,3 +163,54 @@ def predicate_completeness(
         n_present.alias("n_present"),
         (F.count(F.lit(1)) - n_present).alias("n_missing"),
     )
+
+
+def triple_provenance(triples: DataFrame) -> DataFrame:
+    """Per-distinct-triple provenance/support profile:
+    ``(subj, pred, obj, n_support, n_convs, first_turn)`` — how many
+    emitted rows back the triple, how many distinct conversations
+    witnessed it, and the earliest turn index that asserted it.
+
+    The support counts are the confidence signal the KG merge consumes
+    (a triple seen in 40 conversations outranks a single-turn one) and
+    the dedup ledger ``merge_triples_snapshot`` folds away.  One hash
+    aggregation keyed on the triple itself — the same key the
+    materialized table is partitioned on, so at cluster scale this rides
+    the write partitioning with no extra exchange.  ``countDistinct``
+    skips NULL conv_ids (conversation-less triple families) exactly like
+    SQL ``count(DISTINCT ...)``.
+    """
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_support"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.min("turn_idx").alias("first_turn"),
+    )
+
+
+def resolve_functional(
+    triples: DataFrame, functional_preds: Sequence[str]
+) -> DataFrame:
+    """Conflict RESOLUTION for functional predicates (the repair step
+    after ``functional_violations`` reports them): for each (subj, pred)
+    with the predicate declared functional, keep the majority object —
+    support = emitted-row count, ties broken by object ascending so the
+    result is deterministic: ``(subj, pred, obj, n_support)``.
+
+    One aggregation + one row_number window, both keyed on (subj, pred)
+    — the window rides the aggregate's hash partitioning, so resolution
+    costs a single exchange of (subj, pred, obj, count) rows regardless
+    of corpus size.
+    """
+    cand = (
+        triples.filter(F.col("pred").isin(list(functional_preds)))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n_support"))
+    )
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.desc("n_support"), F.asc("obj")
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("subj", "pred", "obj", "n_support")
+    )
