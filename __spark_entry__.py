@@ -1476,6 +1476,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return negative_samples(_triples(spark, sf_dir), k=2,
                                 n_buckets=64)
 
+    def q_kg_split(spark, sf_dir):
+        from kgpipe.kgtrain import split_triples
+
+        return split_triples(_triples(spark, sf_dir), valid_frac=0.2,
+                             test_frac=0.2)
+
+    def q_kg_walks(spark, sf_dir):
+        from kgpipe.kgtrain import random_walks
+
+        return random_walks(_triples(spark, sf_dir), walk_length=3,
+                            walks_per_node=2)
+
     def q_functional_violations(spark, sf_dir):
         from kgpipe.quality import functional_violations
 
@@ -1859,6 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_match": q_label_match,
         "snapshot_diff": q_snapshot_diff,
         "neg_samples": q_neg_samples,
+        "kg_split": q_kg_split,
+        "kg_walks": q_kg_walks,
         "verb_relations": q_verb_relations,
         "conv_features": q_conv_features,
         "curate": q_curate,
@@ -2721,6 +2735,70 @@ picked AS (
 SELECT subj, pred, obj, neg_i, neg_obj FROM picked p
 WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.subj = p.subj
                   AND t.pred = p.pred AND t.obj = p.neg_obj)""",
+        # leakage-safe train/valid/test split (kgpipe.kgtrain.split_triples):
+        # md5 assignment + one demotion pass mirrored exactly
+        "kg_split": f"""
+{_SQL_TRIPLES},
+t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM tri),
+assigned AS MATERIALIZED (
+  SELECT subj, pred, obj,
+         CASE WHEN u < 200000 THEN 'test'
+              WHEN u < 400000 THEN 'valid'
+              ELSE 'train' END AS split0
+  FROM (SELECT subj, pred, obj,
+               ('0x' || substr(md5(subj || '|' || pred || '|' || obj
+                  || '|split'), 1, 8))::bigint % 1000000 AS u
+        FROM t)),
+tr_ents AS MATERIALIZED (SELECT DISTINCT entity FROM (
+  SELECT subj AS entity FROM assigned WHERE split0 = 'train'
+  UNION ALL SELECT obj FROM assigned WHERE split0 = 'train')),
+tr_preds AS (SELECT DISTINCT pred FROM assigned WHERE split0 = 'train')
+SELECT a.subj, a.pred, a.obj,
+       CASE WHEN a.split0 = 'train' THEN 'train'
+            WHEN se.entity IS NULL OR oe.entity IS NULL
+              OR tp.pred IS NULL THEN 'train'
+            ELSE a.split0 END AS split
+FROM assigned a
+LEFT JOIN tr_ents se ON a.subj = se.entity
+LEFT JOIN tr_ents oe ON a.obj = oe.entity
+LEFT JOIN tr_preds tp ON a.pred = tp.pred""",
+        # deterministic random walks (kgpipe.kgtrain.random_walks):
+        # 3 rounds unrolled; neighbor pick = md5(start|walk|step|rw) %% deg
+        # indexing the same row_number-ranked adjacency
+        "kg_walks": f"""
+{_SQL_TRIPLES},
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM tri),
+adj AS MATERIALIZED (
+  SELECT subj AS node,
+         row_number() OVER (PARTITION BY subj ORDER BY obj) - 1 AS idx,
+         obj AS nxt
+  FROM e),
+deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT subj AS node FROM e UNION ALL SELECT obj FROM e)),
+s0 AS MATERIALIZED (
+  SELECT node AS "start", w.walk, 0 AS step, node
+  FROM nodes, (SELECT unnest([0, 1]) AS walk) w),
+s1 AS MATERIALIZED (
+  SELECT s."start", s.walk, 1 AS step, a.nxt AS node
+  FROM s0 s JOIN deg d ON s.node = d.node
+  JOIN adj a ON a.node = s.node
+   AND a.idx = ('0x' || substr(md5(s."start" || '|' || s.walk::varchar
+         || '|' || s.step::varchar || '|rw'), 1, 8))::bigint % d.deg),
+s2 AS MATERIALIZED (
+  SELECT s."start", s.walk, 2 AS step, a.nxt AS node
+  FROM s1 s JOIN deg d ON s.node = d.node
+  JOIN adj a ON a.node = s.node
+   AND a.idx = ('0x' || substr(md5(s."start" || '|' || s.walk::varchar
+         || '|' || s.step::varchar || '|rw'), 1, 8))::bigint % d.deg),
+s3 AS MATERIALIZED (
+  SELECT s."start", s.walk, 3 AS step, a.nxt AS node
+  FROM s2 s JOIN deg d ON s.node = d.node
+  JOIN adj a ON a.node = s.node
+   AND a.idx = ('0x' || substr(md5(s."start" || '|' || s.walk::varchar
+         || '|' || s.step::varchar || '|rw'), 1, 8))::bigint % d.deg)
+SELECT * FROM s0 UNION ALL SELECT * FROM s1
+UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3""",
         # KG quality checks (kgpipe.quality): functional-predicate
         # violations, host-level domain/range namespace signatures, minority
         # signature flagging (two planted anomalies mirror q_dr_violations),

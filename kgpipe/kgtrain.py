@@ -103,3 +103,143 @@ def negative_samples(
                        F.col("obj").alias("neg_obj"))
         drawn = drawn.join(pos, ["subj", "pred", "neg_obj"], "left_anti")
     return drawn
+
+
+def split_triples(
+    triples: DataFrame,
+    valid_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic, LEAKAGE-SAFE train/valid/test split of the distinct
+    triple set: ``(subj, pred, obj, split)``.
+
+    Assignment is pure md5 arithmetic on the triple key (engine-portable,
+    reproducible across runs/engines/cluster sizes — no sampling state).
+    Leakage safety is the standard KG-embedding constraint: a held-out
+    triple whose subject, object, or predicate never appears in train is
+    unscorable at eval time, so any valid/test triple with an
+    out-of-train entity or predicate is DEMOTED to train.  One pass of
+    demotion is exact for entities/predicates (train only grows, so no
+    new violations appear).
+
+    Plan: one distinct, two narrow hash-key joins against the train
+    entity set (keyed on entity id) and one broadcast join against the
+    train predicate vocabulary; no shuffle wider than the triple key.
+    """
+    if valid_frac < 0 or test_frac < 0 or valid_frac + test_frac >= 1:
+        raise ValueError(
+            f"fractions must be >= 0 and sum < 1, got {valid_frac}, {test_frac}")
+    mod = 1_000_000
+    t = triples.select("subj", "pred", "obj").distinct()
+    u = F.pmod(_h32("subj", "pred", "obj", F.lit(salt)), F.lit(mod))
+    test_cut = int(test_frac * mod)
+    valid_cut = test_cut + int(valid_frac * mod)
+    assigned = t.withColumn(
+        "split0",
+        F.when(u < test_cut, F.lit("test"))
+        .when(u < valid_cut, F.lit("valid"))
+        .otherwise(F.lit("train")),
+    ).localCheckpoint(eager=True)
+    train = assigned.filter(F.col("split0") == "train")
+    train_ents = (
+        train.select(F.col("subj").alias("entity"))
+        .unionAll(train.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    train_preds = train.select("pred").distinct()
+    se = train_ents.select(F.col("entity").alias("subj"),
+                           F.lit(1).alias("_se"))
+    oe = train_ents.select(F.col("entity").alias("obj"),
+                           F.lit(1).alias("_oe"))
+    pe = train_preds.select("pred", F.lit(1).alias("_pe"))
+    out = (
+        assigned.join(se, "subj", "left")
+        .join(oe, "obj", "left")
+        .join(F.broadcast(pe), "pred", "left")
+        .select(
+            "subj", "pred", "obj",
+            F.when(F.col("split0") == "train", F.lit("train"))
+            .when(
+                F.col("_se").isNull() | F.col("_oe").isNull()
+                | F.col("_pe").isNull(),
+                F.lit("train"),
+            )
+            .otherwise(F.col("split0"))
+            .alias("split"),
+        )
+    )
+    return out
+
+
+def random_walks(
+    triples: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 2,
+    seed: str = "rw",
+) -> DataFrame:
+    """Deterministic uniform random walks over the distinct directed
+    entity graph — the DeepWalk/node2vec(p=q=1) corpus generator:
+    ``(start, walk, step, node)`` rows, ``walks_per_node`` walks from
+    every entity, each up to ``walk_length`` steps (a walk stops early
+    at a node with no out-edges).
+
+    "Random" is md5 arithmetic on (start, walk, step, seed) — the same
+    engine-portable scheme as ``negative_samples`` — so the corpus is
+    bit-reproducible across runs, engines, and cluster sizes (no RNG
+    state, no per-partition seeds to coordinate).  Neighbor selection
+    indexes a per-source ranked adjacency (row_number partitioned by
+    source — parallel, never global) by ``hash % out_degree``.
+
+    Plan: ``walk_length`` rounds, each ONE equi-join of the frontier
+    against the indexed adjacency keyed (node, idx), with the frontier
+    ``localCheckpoint``ed so plan depth stays O(1).  State is one row
+    per live walk — |V| * walks_per_node at most, shrinking as walks
+    hit sinks.  Hub skew is bounded: the adjacency join is keyed on the
+    walk's CURRENT node, and a hub's row count in the join equals the
+    number of walks currently at it, not its degree.
+    """
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    e = triples.select("subj", "obj").distinct()
+    adj_w = Window.partitionBy("subj").orderBy("obj")
+    adj = (
+        e.withColumn("idx", F.row_number().over(adj_w) - 1)
+        .select(F.col("subj").alias("node"), "idx",
+                F.col("obj").alias("nxt"))
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("node").agg(F.max("idx").alias("_m")).select(
+        "node", (F.col("_m") + 1).alias("deg"))
+    nodes = (
+        e.select(F.col("subj").alias("node"))
+        .unionAll(e.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    state = (
+        nodes.withColumn(
+            "walk", F.explode(F.sequence(F.lit(0),
+                                         F.lit(walks_per_node - 1))))
+        .select(F.col("node").alias("start"), "walk",
+                F.lit(0).alias("step"), "node")
+        .localCheckpoint(eager=True)
+    )
+    out = state
+    for s in range(1, walk_length + 1):
+        cur = state.join(deg, "node")
+        pick = F.pmod(
+            _h32("start", F.col("walk").cast("string"),
+                 F.col("step").cast("string"), F.lit(seed)),
+            F.col("deg"),
+        )
+        state = (
+            cur.withColumn("idx", pick)
+            .join(adj, ["node", "idx"])
+            .select("start", "walk", F.lit(s).alias("step"),
+                    F.col("nxt").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(state)
+    return out

@@ -48,3 +48,71 @@ def test_negative_samples_distribution(spark):
     # vocab = 500 subjects + 50 objects = 550; 1000 draws should hit a
     # broad slice of it
     assert distinct_negs > 300
+
+
+from kgpipe.kgtrain import random_walks, split_triples
+
+
+def test_split_triples_partitions_and_leakage_safety(spark):
+    rows = [(f"e{i}", f"p{i % 3}", f"e{(i * 7 + 1) % 40}")
+            for i in range(200)]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = split_triples(t, valid_frac=0.2, test_frac=0.2).collect()
+    n_distinct = t.distinct().count()
+    assert len(out) == n_distinct
+    splits = {r["split"] for r in out}
+    assert splits <= {"train", "valid", "test"}
+    train = [r for r in out if r["split"] == "train"]
+    held = [r for r in out if r["split"] != "train"]
+    assert train and held  # both sides populated at these fractions
+    train_ents = {r["subj"] for r in train} | {r["obj"] for r in train}
+    train_preds = {r["pred"] for r in train}
+    # leakage safety: every held-out entity and predicate is trainable
+    for r in held:
+        assert r["subj"] in train_ents
+        assert r["obj"] in train_ents
+        assert r["pred"] in train_preds
+    # deterministic
+    again = split_triples(t, valid_frac=0.2, test_frac=0.2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_split_triples_validates_fractions(spark):
+    t = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    with pytest.raises(ValueError):
+        split_triples(t, valid_frac=0.6, test_frac=0.5)
+    with pytest.raises(ValueError):
+        split_triples(t, valid_frac=-0.1)
+
+
+def test_random_walks_follow_edges_and_stop_at_sinks(spark):
+    # path graph a->b->c->d plus a branch b->e (e is a sink)
+    edges = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+             ("b", "p", "e")]
+    t = spark.createDataFrame(edges, ["subj", "pred", "obj"])
+    out = random_walks(t, walk_length=3, walks_per_node=2).collect()
+    adj = {("a", "b"), ("b", "c"), ("b", "e"), ("c", "d")}
+    by_walk = {}
+    for r in out:
+        by_walk.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+    assert len(by_walk) == 5 * 2  # every node starts walks_per_node walks
+    for (start, _), steps in by_walk.items():
+        assert steps[0] == start
+        ks = sorted(steps)
+        assert ks == list(range(len(ks)))  # no gaps: stops stay stopped
+        for a, b in zip(ks, ks[1:]):
+            assert (steps[a], steps[b]) in adj  # every hop is a real edge
+    # sinks never move: walks from d and e are step-0 only
+    assert max(s for (st, _), m in by_walk.items() if st == "d"
+               for s in m) == 0
+    # deterministic
+    again = random_walks(t, walk_length=3, walks_per_node=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_random_walks_validates_params(spark):
+    t = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    with pytest.raises(ValueError):
+        random_walks(t, walk_length=0)
+    with pytest.raises(ValueError):
+        random_walks(t, walks_per_node=0)
