@@ -247,6 +247,94 @@ und AS MATERIALIZED (SELECT subj AS a, obj AS b FROM e_d
 # prefix itself is unchanged
 _SQL_TRIPLES_REC = _SQL_TRIPLES.replace("WITH ", "WITH RECURSIVE ", 1)
 
+# deterministic random-walk corpus (kgpipe.kgtrain.random_walks with
+# walk_length=3, walks_per_node=2, seed='rw'): rounds unrolled; neighbor
+# pick = md5(start|walk|step|rw) %% deg indexing the row_number-ranked
+# adjacency. Shared by the kg_walks and walk_pairs oracle rows.
+_SQL_WALKS = """
+e_w AS MATERIALIZED (SELECT DISTINCT subj, obj FROM tri),
+adj_w AS MATERIALIZED (
+  SELECT subj AS node,
+         row_number() OVER (PARTITION BY subj ORDER BY obj) - 1 AS idx,
+         obj AS nxt
+  FROM e_w),
+deg_w AS MATERIALIZED (SELECT node, count(*) AS deg FROM adj_w
+                       GROUP BY node),
+nodes_w AS (SELECT DISTINCT node FROM (
+  SELECT subj AS node FROM e_w UNION ALL SELECT obj FROM e_w)),
+s0 AS MATERIALIZED (
+  SELECT node AS "start", w.walk, 0 AS step, node
+  FROM nodes_w, (SELECT unnest([0, 1]) AS walk) w),
+s1 AS MATERIALIZED (
+  SELECT s."start", s.walk, 1 AS step, a.nxt AS node
+  FROM s0 s JOIN deg_w d ON s.node = d.node
+  JOIN adj_w a ON a.node = s.node
+   AND a.idx = ('0x' || substr(md5(s."start" || '|' || s.walk::varchar
+         || '|' || s.step::varchar || '|rw'), 1, 8))::bigint % d.deg),
+s2 AS MATERIALIZED (
+  SELECT s."start", s.walk, 2 AS step, a.nxt AS node
+  FROM s1 s JOIN deg_w d ON s.node = d.node
+  JOIN adj_w a ON a.node = s.node
+   AND a.idx = ('0x' || substr(md5(s."start" || '|' || s.walk::varchar
+         || '|' || s.step::varchar || '|rw'), 1, 8))::bigint % d.deg),
+s3 AS MATERIALIZED (
+  SELECT s."start", s.walk, 3 AS step, a.nxt AS node
+  FROM s2 s JOIN deg_w d ON s.node = d.node
+  JOIN adj_w a ON a.node = s.node
+   AND a.idx = ('0x' || substr(md5(s."start" || '|' || s.walk::varchar
+         || '|' || s.step::varchar || '|rw'), 1, 8))::bigint % d.deg),
+walks AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)"""
+
+# link-prediction ranks (kgpipe.kgtrain.link_prediction_ranks, dim=8,
+# scale=1000, filtered): exact-integer hash embeddings, L1 scores,
+# deterministic tie-break. Shared by lp_ranks and lp_eval oracle rows.
+_SQL_LP_RANKS = """
+t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM tri),
+ents_lp AS MATERIALIZED (SELECT DISTINCT entity FROM (
+  SELECT subj AS entity FROM t UNION ALL SELECT obj FROM t)),
+dims AS (SELECT unnest(generate_series(0, 7)) AS j),
+ev AS MATERIALIZED (
+  SELECT entity, j,
+         ('0x' || substr(md5(entity || '|' || j::varchar || '|emb'),
+            1, 8))::bigint % 2001 - 1000 AS v
+  FROM ents_lp, dims),
+test_lp AS MATERIALIZED (
+  SELECT subj, pred, obj FROM t
+  WHERE ('0x' || substr(md5(subj || '|' || pred || '|' || obj || '|lp'),
+           1, 8))::bigint % 100 < 10),
+pv AS MATERIALIZED (
+  SELECT pred, j,
+         ('0x' || substr(md5(pred || '|' || j::varchar || '|rel'),
+            1, 8))::bigint % 2001 - 1000 AS v
+  FROM (SELECT DISTINCT pred FROM test_lp), dims),
+qv AS MATERIALIZED (
+  SELECT q.subj, q.pred, q.obj, se.j, se.v + pv.v AS qv
+  FROM test_lp q
+  JOIN ev se ON se.entity = q.subj
+  JOIN pv ON pv.pred = q.pred AND pv.j = se.j),
+scored_lp AS MATERIALIZED (
+  SELECT qv.subj, qv.pred, qv.obj, ev.entity,
+         sum(abs(qv.qv - ev.v)) AS score
+  FROM qv JOIN ev ON ev.j = qv.j
+  GROUP BY 1, 2, 3, 4),
+filt_lp AS MATERIALIZED (
+  SELECT s.* FROM scored_lp s
+  WHERE s.entity = s.obj OR NOT EXISTS (
+    SELECT 1 FROM t WHERE t.subj = s.subj AND t.pred = s.pred
+      AND t.obj = s.entity)),
+ts_lp AS (SELECT subj, pred, obj, score AS true_score FROM filt_lp
+          WHERE entity = obj),
+ranks_lp AS (
+  SELECT f.subj, f.pred, f.obj,
+         (1 + sum(CASE WHEN f.score < ts_lp.true_score
+                    OR (f.score = ts_lp.true_score
+                        AND f.entity < f.obj)
+                  THEN 1 ELSE 0 END))::bigint AS rank
+  FROM filt_lp f JOIN ts_lp ON f.subj = ts_lp.subj
+    AND f.pred = ts_lp.pred AND f.obj = ts_lp.obj
+  GROUP BY 1, 2, 3)"""
+
 # RDFS vocabulary for the rdfs_types contract row: domain/range
 # declarations over the kgpipe predicates plus a 3-level class hierarchy
 # (mirrored literally in the oracle's VALUES lists)
@@ -1488,6 +1576,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return random_walks(_triples(spark, sf_dir), walk_length=3,
                             walks_per_node=2)
 
+    def q_walk_pairs(spark, sf_dir):
+        from kgpipe.kgtrain import random_walks, walk_pairs
+
+        return walk_pairs(
+            random_walks(_triples(spark, sf_dir), walk_length=3,
+                         walks_per_node=2),
+            window=2)
+
+    def _lp_ranks(spark, sf_dir):
+        from kgpipe.kgtrain import _h32, link_prediction_ranks
+
+        t = (_triples(spark, sf_dir)
+             .select("subj", "pred", "obj").distinct())
+        test = t.filter(
+            F.pmod(_h32("subj", "pred", "obj", F.lit("lp")),
+                   F.lit(100)) < 10)
+        return link_prediction_ranks(t, test, dim=8, scale=1000)
+
+    def q_lp_ranks(spark, sf_dir):
+        return _lp_ranks(spark, sf_dir)
+
+    def q_lp_eval(spark, sf_dir):
+        from kgpipe.kgtrain import lp_metrics
+
+        return lp_metrics(_lp_ranks(spark, sf_dir))
+
     def q_functional_violations(spark, sf_dir):
         from kgpipe.quality import functional_violations
 
@@ -1873,6 +1987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neg_samples": q_neg_samples,
         "kg_split": q_kg_split,
         "kg_walks": q_kg_walks,
+        "walk_pairs": q_walk_pairs,
+        "lp_ranks": q_lp_ranks,
+        "lp_eval": q_lp_eval,
         "verb_relations": q_verb_relations,
         "conv_features": q_conv_features,
         "curate": q_curate,
@@ -2763,42 +2880,32 @@ LEFT JOIN tr_ents se ON a.subj = se.entity
 LEFT JOIN tr_ents oe ON a.obj = oe.entity
 LEFT JOIN tr_preds tp ON a.pred = tp.pred""",
         # deterministic random walks (kgpipe.kgtrain.random_walks):
-        # 3 rounds unrolled; neighbor pick = md5(start|walk|step|rw) %% deg
-        # indexing the same row_number-ranked adjacency
+        # shared unrolled-walk body (_SQL_WALKS)
         "kg_walks": f"""
-{_SQL_TRIPLES},
-e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM tri),
-adj AS MATERIALIZED (
-  SELECT subj AS node,
-         row_number() OVER (PARTITION BY subj ORDER BY obj) - 1 AS idx,
-         obj AS nxt
-  FROM e),
-deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM adj GROUP BY node),
-nodes AS (SELECT DISTINCT node FROM (
-  SELECT subj AS node FROM e UNION ALL SELECT obj FROM e)),
-s0 AS MATERIALIZED (
-  SELECT node AS "start", w.walk, 0 AS step, node
-  FROM nodes, (SELECT unnest([0, 1]) AS walk) w),
-s1 AS MATERIALIZED (
-  SELECT s."start", s.walk, 1 AS step, a.nxt AS node
-  FROM s0 s JOIN deg d ON s.node = d.node
-  JOIN adj a ON a.node = s.node
-   AND a.idx = ('0x' || substr(md5(s."start" || '|' || s.walk::varchar
-         || '|' || s.step::varchar || '|rw'), 1, 8))::bigint % d.deg),
-s2 AS MATERIALIZED (
-  SELECT s."start", s.walk, 2 AS step, a.nxt AS node
-  FROM s1 s JOIN deg d ON s.node = d.node
-  JOIN adj a ON a.node = s.node
-   AND a.idx = ('0x' || substr(md5(s."start" || '|' || s.walk::varchar
-         || '|' || s.step::varchar || '|rw'), 1, 8))::bigint % d.deg),
-s3 AS MATERIALIZED (
-  SELECT s."start", s.walk, 3 AS step, a.nxt AS node
-  FROM s2 s JOIN deg d ON s.node = d.node
-  JOIN adj a ON a.node = s.node
-   AND a.idx = ('0x' || substr(md5(s."start" || '|' || s.walk::varchar
-         || '|' || s.step::varchar || '|rw'), 1, 8))::bigint % d.deg)
-SELECT * FROM s0 UNION ALL SELECT * FROM s1
-UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3""",
+{_SQL_TRIPLES},{_SQL_WALKS}
+SELECT * FROM walks""",
+        # skip-gram pairs over the walk corpus
+        # (kgpipe.kgtrain.walk_pairs, window=2)
+        "walk_pairs": f"""
+{_SQL_TRIPLES},{_SQL_WALKS}
+SELECT a.node AS center, b.node AS context, count(*)::bigint AS cnt
+FROM walks a JOIN walks b
+  ON a."start" = b."start" AND a.walk = b.walk
+ AND a.step <> b.step AND abs(a.step - b.step) <= 2
+GROUP BY 1, 2""",
+        # TransE-style filtered link-prediction ranks over exact-integer
+        # hash embeddings (kgpipe.kgtrain.link_prediction_ranks)
+        "lp_ranks": f"""
+{_SQL_TRIPLES},{_SQL_LP_RANKS}
+SELECT subj, pred, obj, rank FROM ranks_lp""",
+        # integer summary metrics (kgpipe.kgtrain.lp_metrics)
+        "lp_eval": f"""
+{_SQL_TRIPLES},{_SQL_LP_RANKS}
+SELECT count(*)::bigint AS n_test,
+       sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)::bigint AS hits_at_1,
+       sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::bigint AS hits_at_10,
+       sum(rank)::bigint AS rank_sum
+FROM ranks_lp""",
         # KG quality checks (kgpipe.quality): functional-predicate
         # violations, host-level domain/range namespace signatures, minority
         # signature flagging (two planted anomalies mirror q_dr_violations),

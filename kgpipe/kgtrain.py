@@ -243,3 +243,139 @@ def random_walks(
         )
         out = out.unionAll(state)
     return out
+
+
+def walk_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a random-walk corpus:
+    ``(center, context, cnt)`` — every ordered pair of distinct walk
+    positions within ``window`` steps of each other, aggregated to
+    counts (the word2vec-over-walks corpus of DeepWalk §4.2, as a
+    weighted pair table instead of materialized repeats).
+
+    Plan: one self-equi-join keyed (start, walk) — group size is
+    walk_length+1, a small constant, so there is NO skew regardless of
+    graph shape — followed by a (center, context) count with map-side
+    partial aggregation.  Hub nodes cost rows proportional to how many
+    walks visit them, never to their degree.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select("start", "walk", F.col("step").alias("sa"),
+                     F.col("node").alias("center"))
+    b = walks.select("start", "walk", F.col("step").alias("sb"),
+                     F.col("node").alias("context"))
+    return (
+        a.join(b, ["start", "walk"])
+        .filter((F.col("sb") != F.col("sa"))
+                & (F.abs(F.col("sb") - F.col("sa")) <= window))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hash_embedding(col: Column | str, dim: int = 8, scale: int = 1000,
+                   salt: str = "emb") -> Column:
+    """Deterministic INTEGER embedding for a string column: component
+    ``j`` is ``md5(value|j|salt) % (2*scale+1) - scale`` — an
+    engine-portable stand-in for trained vectors that keeps every
+    downstream distance/score in exact integer arithmetic (so link-
+    prediction evaluation is oracle-hashable with no float drift)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.pmod(_h32(c, j.cast("string"), F.lit(salt)),
+                         F.lit(2 * scale + 1)) - F.lit(scale),
+    )
+
+
+def link_prediction_ranks(
+    triples: DataFrame,
+    test: DataFrame,
+    dim: int = 8,
+    scale: int = 1000,
+    filtered: bool = True,
+) -> DataFrame:
+    """TransE-style link-prediction evaluation: for each test triple
+    (s, p, o), rank the true object among ALL candidate entities by
+    L1 score ``||emb(s) + emb(p) - emb(o')||_1`` (lower = better):
+    ``(subj, pred, obj, rank)``.  ``filtered`` (the standard setting)
+    excludes candidates o' != o where (s, p, o') is itself a true
+    triple.  Rank ties break deterministically: a tied candidate
+    counts as better iff its id sorts before the true object.
+
+    Embeddings are the exact-integer ``hash_embedding`` vectors
+    (entity salt "emb", predicate salt "rel"), so ranks are
+    bit-reproducible and DuckDB-hashable.  Swap in trained float
+    vectors by pre-joining your own ``e_vec`` — the plan is identical.
+
+    Plan: the test side (|test| rows, one array each) is BROADCAST
+    against the entity table — the standard score-against-full-vocab
+    eval is inherently |test| x |V|, so callers bound |test| (eval
+    samples), never |V|.  The L1 fold is JVM-side zip_with/aggregate
+    (no Python).  Rank = one (subj, pred, obj)-keyed window + count,
+    the same hash partitioning reused across both.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    ents = (
+        t.select(F.col("subj").alias("entity"))
+        .unionAll(t.select(F.col("obj").alias("entity")))
+        .distinct()
+        .withColumn("e_vec", hash_embedding("entity", dim, scale, "emb"))
+    )
+    q = (
+        test.select("subj", "pred", "obj").distinct()
+        .withColumn("s_vec", hash_embedding("subj", dim, scale, "emb"))
+        .withColumn("p_vec", hash_embedding("pred", dim, scale, "rel"))
+        .withColumn("q_vec", F.zip_with("s_vec", "p_vec",
+                                        lambda a, b: a + b))
+        .drop("s_vec", "p_vec")
+    )
+    scored = (
+        ents.crossJoin(F.broadcast(q))
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with("q_vec", "e_vec", lambda a, b: F.abs(a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x),
+        )
+        .select("subj", "pred", "obj", "entity", "score")
+    )
+    if filtered:
+        known = t.select("subj", "pred", F.col("obj").alias("entity"),
+                         F.lit(1).alias("_k"))
+        scored = (
+            scored.join(known, ["subj", "pred", "entity"], "left")
+            .filter(F.col("_k").isNull()
+                    | (F.col("entity") == F.col("obj")))
+            .drop("_k")
+        )
+    w = Window.partitionBy("subj", "pred", "obj")
+    better = (
+        (F.col("score") < F.col("ts"))
+        | ((F.col("score") == F.col("ts"))
+           & (F.col("entity") < F.col("obj")))
+    )
+    return (
+        scored.withColumn(
+            "ts",
+            F.max(F.when(F.col("entity") == F.col("obj"),
+                         F.col("score"))).over(w))
+        .groupBy("subj", "pred", "obj")
+        .agg((F.sum(F.when(better, 1).otherwise(0)) + 1)
+             .cast("long").alias("rank"))
+    )
+
+
+def lp_metrics(ranks: DataFrame) -> DataFrame:
+    """Integer link-prediction summary over ``link_prediction_ranks``
+    output — ``(n_test, hits_at_1, hits_at_10, rank_sum)``.  All
+    columns are exact integers (MRR is left to callers: cross-engine
+    float summation order makes it un-hashable)."""
+    return ranks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("rank") <= 1, 1).otherwise(0))
+        .cast("long").alias("hits_at_1"),
+        F.sum(F.when(F.col("rank") <= 10, 1).otherwise(0))
+        .cast("long").alias("hits_at_10"),
+        F.sum("rank").cast("long").alias("rank_sum"),
+    )

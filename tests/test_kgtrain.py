@@ -116,3 +116,82 @@ def test_random_walks_validates_params(spark):
         random_walks(t, walk_length=0)
     with pytest.raises(ValueError):
         random_walks(t, walks_per_node=0)
+
+
+from kgpipe.kgtrain import (hash_embedding, link_prediction_ranks,
+                            lp_metrics, walk_pairs)
+
+
+def test_walk_pairs_counts_within_window(spark):
+    walks = spark.createDataFrame(
+        [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"),
+         ("a", 0, 3, "d"),
+         ("x", 1, 0, "x"), ("x", 1, 1, "b")],
+        ["start", "walk", "step", "node"])
+    got = {(r["center"], r["context"]): r["cnt"]
+           for r in walk_pairs(walks, window=2).collect()}
+    # window 2 over a-b-c-d: (a,b),(a,c),(b,c),(b,d),(c,d) + reverses;
+    # plus the 2-node walk x-b
+    assert got[("a", "b")] == 1 and got[("b", "a")] == 1
+    assert got[("a", "c")] == 1 and got[("a", "d")] is not None \
+        if ("a", "d") in got else True
+    assert ("a", "d") not in got  # distance 3 > window
+    assert got[("x", "b")] == 1 and got[("b", "x")] == 1
+    # symmetric construction: count(u,v) == count(v,u)
+    assert all(got[(c, x)] == got[(x, c)] for (c, x) in got)
+    with pytest.raises(ValueError):
+        walk_pairs(walks, window=0)
+
+
+def test_hash_embedding_deterministic_and_bounded(spark):
+    df = spark.createDataFrame([("a",), ("b",)], ["entity"])
+    out = df.withColumn("v", hash_embedding("entity", dim=4, scale=10))
+    rows = {r["entity"]: r["v"] for r in out.collect()}
+    assert len(rows["a"]) == 4
+    assert all(-10 <= x <= 10 for v in rows.values() for x in v)
+    assert rows["a"] != rows["b"]
+    again = {r["entity"]: r["v"] for r in out.collect()}
+    assert rows == again
+
+
+def test_link_prediction_ranks_exact_small_graph(spark):
+    import hashlib
+
+    edges = [(f"e{i}", "p", f"e{(i + 1) % 6}") for i in range(6)]
+    edges += [("e0", "q", "e3")]
+    t = spark.createDataFrame(edges, ["subj", "pred", "obj"])
+    test = spark.createDataFrame([("e0", "p", "e1"), ("e0", "q", "e3")],
+                                 ["subj", "pred", "obj"])
+    got = {(r["subj"], r["pred"], r["obj"]): r["rank"]
+           for r in link_prediction_ranks(t, test, dim=4,
+                                          scale=10).collect()}
+
+    # python reimplementation of the exact integer semantics
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def emb(x, salt):
+        return [h32(f"{x}|{j}|{salt}") % 21 - 10 for j in range(4)]
+
+    ents = sorted({s for s, _, _ in edges} | {o for _, _, o in edges})
+    true = {(s, p, o) for s, p, o in edges}
+    for (s, p, o), rank in got.items():
+        qv = [a + b for a, b in zip(emb(s, "emb"), emb(p, "rel"))]
+
+        def score(e):
+            return sum(abs(a - b) for a, b in zip(qv, emb(e, "emb")))
+
+        cands = [e for e in ents if e == o or (s, p, e) not in true]
+        ts = score(o)
+        expect = 1 + sum(1 for e in cands
+                         if score(e) < ts or (score(e) == ts and e < o))
+        assert rank == expect, (s, p, o)
+
+
+def test_lp_metrics_integers(spark):
+    ranks = spark.createDataFrame(
+        [("a", "p", "b", 1), ("a", "p", "c", 7), ("a", "p", "d", 30)],
+        ["subj", "pred", "obj", "rank"])
+    m = lp_metrics(ranks).collect()[0]
+    assert (m["n_test"], m["hits_at_1"], m["hits_at_10"],
+            m["rank_sum"]) == (3, 1, 2, 38)
