@@ -251,7 +251,7 @@ _SQL_TRIPLES_REC = _SQL_TRIPLES.replace("WITH ", "WITH RECURSIVE ", 1)
 # walk_length=3, walks_per_node=2, seed='rw'): rounds unrolled; neighbor
 # pick = md5(start|walk|step|rw) %% deg indexing the row_number-ranked
 # adjacency. Shared by the kg_walks and walk_pairs oracle rows.
-_SQL_WALKS = """
+_SQL_ADJ = """
 e_w AS MATERIALIZED (SELECT DISTINCT subj, obj FROM tri),
 adj_w AS MATERIALIZED (
   SELECT subj AS node,
@@ -261,7 +261,9 @@ adj_w AS MATERIALIZED (
 deg_w AS MATERIALIZED (SELECT node, count(*) AS deg FROM adj_w
                        GROUP BY node),
 nodes_w AS (SELECT DISTINCT node FROM (
-  SELECT subj AS node FROM e_w UNION ALL SELECT obj FROM e_w)),
+  SELECT subj AS node FROM e_w UNION ALL SELECT obj FROM e_w))"""
+
+_SQL_WALKS = _SQL_ADJ + """,
 s0 AS MATERIALIZED (
   SELECT node AS "start", w.walk, 0 AS step, node
   FROM nodes_w, (SELECT unnest([0, 1]) AS walk) w),
@@ -285,6 +287,53 @@ s3 AS MATERIALIZED (
          || '|' || s.step::varchar || '|rw'), 1, 8))::bigint % d.deg),
 walks AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
   UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)"""
+
+
+def _sql_n2v_step(i: int, w_return: int, w_common: int, w_far: int) -> str:
+    """One unrolled biased step of kgpipe.kgtrain.biased_walks: weight
+    each candidate by second-order distance to the walk's previous node,
+    then the cumulative-weight draw picks the next hop."""
+    return f"""cand{i} AS MATERIALIZED (
+  SELECT s."start", s.walk, s.node, s.prev, a.idx, a.nxt,
+         CASE WHEN a.nxt = s.prev THEN {w_return}
+              WHEN c._c IS NOT NULL THEN {w_common}
+              ELSE {w_far} END AS w
+  FROM b{i - 1} s
+  JOIN adj_w a ON a.node = s.node
+  LEFT JOIN cmn c ON c.prev = s.prev AND c.nxt = a.nxt),
+b{i} AS MATERIALIZED (
+  SELECT "start", walk, {i} AS step, nxt AS node, node AS prev FROM (
+    SELECT *,
+           sum(w) OVER (PARTITION BY "start", walk ORDER BY idx) AS cum,
+           sum(w) OVER (PARTITION BY "start", walk) AS tot,
+           ('0x' || substr(md5("start" || '|' || walk::varchar
+              || '|' || '{i - 1}' || '|n2v'), 1, 8))::bigint AS h
+    FROM cand{i})
+  WHERE cum - w <= h % tot AND h % tot < cum)"""
+
+
+# node2vec-style biased walks (kgpipe.kgtrain.biased_walks with
+# walk_length=3, walks_per_node=2, weights 1/4/2, seed 'n2v'):
+# step 1 uniform, steps 2-3 second-order biased
+_SQL_N2V = _SQL_ADJ + f""",
+cmn AS MATERIALIZED (SELECT node AS prev, nxt, 1 AS _c FROM adj_w),
+b0 AS MATERIALIZED (
+  SELECT node AS "start", w.walk, 0 AS step, node,
+         NULL::varchar AS prev
+  FROM nodes_w, (SELECT unnest([0, 1]) AS walk) w),
+b1 AS MATERIALIZED (
+  SELECT s."start", s.walk, 1 AS step, a.nxt AS node, s.node AS prev
+  FROM b0 s JOIN deg_w d ON s.node = d.node
+  JOIN adj_w a ON a.node = s.node
+   AND a.idx = ('0x' || substr(md5(s."start" || '|' || s.walk::varchar
+         || '|0|n2v'), 1, 8))::bigint % d.deg),
+{_sql_n2v_step(2, 1, 4, 2)},
+{_sql_n2v_step(3, 1, 4, 2)},
+bwalks AS (
+  SELECT "start", walk, step, node FROM b0
+  UNION ALL SELECT "start", walk, step, node FROM b1
+  UNION ALL SELECT "start", walk, step, node FROM b2
+  UNION ALL SELECT "start", walk, step, node FROM b3)"""
 
 # link-prediction ranks (kgpipe.kgtrain.link_prediction_ranks, dim=8,
 # scale=1000, filtered): exact-integer hash embeddings, L1 scores,
@@ -1323,6 +1372,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return triangle_count(_triples(spark, sf_dir))
 
+    def q_local_clustering(spark, sf_dir):
+        from kgpipe.graph import local_clustering
+
+        return local_clustering(_triples(spark, sf_dir))
+
+    def q_char_sets(spark, sf_dir):
+        from kgpipe.quality import characteristic_sets
+
+        return characteristic_sets(_triples(spark, sf_dir))
+
+    def q_state_at(spark, sf_dir):
+        from datetime import datetime
+
+        from kgpipe.temporal import state_at
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_type", "props", "ts")
+        return state_at(ev, datetime(2024, 1, 15),
+                        keys=("user_id", "event_type"), ts="ts")
+
     def q_ego_network(spark, sf_dir):
         from kgpipe.graph import ego_network
 
@@ -1575,6 +1644,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return random_walks(_triples(spark, sf_dir), walk_length=3,
                             walks_per_node=2)
+
+    def q_n2v_walks(spark, sf_dir):
+        from kgpipe.kgtrain import biased_walks
+
+        return biased_walks(_triples(spark, sf_dir), walk_length=3,
+                            walks_per_node=2, w_return=1, w_common=4,
+                            w_far=2)
 
     def q_walk_pairs(spark, sf_dir):
         from kgpipe.kgtrain import random_walks, walk_pairs
@@ -1987,9 +2063,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neg_samples": q_neg_samples,
         "kg_split": q_kg_split,
         "kg_walks": q_kg_walks,
+        "n2v_walks": q_n2v_walks,
         "walk_pairs": q_walk_pairs,
         "lp_ranks": q_lp_ranks,
         "lp_eval": q_lp_eval,
+        "local_clustering": q_local_clustering,
+        "char_sets": q_char_sets,
+        "state_at": q_state_at,
         "verb_relations": q_verb_relations,
         "conv_features": q_conv_features,
         "curate": q_curate,
@@ -2739,6 +2819,49 @@ SELECT count(*) AS n_triangles
 FROM oriented e1
 JOIN oriented e2 ON e1.b = e2.a
 JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        # per-node triangle participation: same oriented wedge closure,
+        # each triangle credited to all three corners (mirrors
+        # kgpipe.graph.local_clustering)
+        "local_clustering": f"""
+{_SQL_TRIPLES},
+und AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM tri WHERE subj <> obj),
+deg AS (
+  SELECT x, count(*) AS d FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+  GROUP BY x),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+              THEN und.u ELSE und.v END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+              THEN und.v ELSE und.u END AS b
+  FROM und JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e1.b = e2.a
+  JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b),
+tc AS (
+  SELECT entity, count(*)::bigint AS n_triangles FROM (
+    SELECT x AS entity FROM tris UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris)
+  GROUP BY entity)
+SELECT deg.x AS entity, deg.d::bigint AS degree,
+       coalesce(tc.n_triangles, 0)::bigint AS n_triangles
+FROM deg LEFT JOIN tc ON deg.x = tc.entity""",
+        # characteristic sets (kgpipe.quality.characteristic_sets):
+        # subjects grouped by their exact sorted predicate signature
+        "char_sets": f"""
+{_SQL_TRIPLES},
+t_cs AS (SELECT DISTINCT subj, pred, obj FROM tri),
+cs AS (
+  SELECT subj, string_agg(DISTINCT pred, ',' ORDER BY pred) AS pred_set,
+         count(*) AS n
+  FROM t_cs GROUP BY subj)
+SELECT pred_set, count(*)::bigint AS n_subjects,
+       sum(n)::bigint AS n_triples
+FROM cs GROUP BY pred_set""",
         # 2-hop undirected ego net around concept T:0001: an edge's hop =
         # 1 + the BFS distance of its nearer endpoint (unrolled for hops=2,
         # mirroring kgpipe.graph.ego_network's frontier semi-joins)
@@ -2884,6 +3007,11 @@ LEFT JOIN tr_preds tp ON a.pred = tp.pred""",
         "kg_walks": f"""
 {_SQL_TRIPLES},{_SQL_WALKS}
 SELECT * FROM walks""",
+        # node2vec-style second-order biased walks
+        # (kgpipe.kgtrain.biased_walks; shared body _SQL_N2V)
+        "n2v_walks": f"""
+{_SQL_TRIPLES},{_SQL_N2V}
+SELECT * FROM bwalks""",
         # skip-gram pairs over the walk corpus
         # (kgpipe.kgtrain.walk_pairs, window=2)
         "walk_pairs": f"""
@@ -3026,6 +3154,15 @@ SELECT user_id, event_type, props, ts FROM (
          row_number() OVER (PARTITION BY user_id, event_type
                             ORDER BY ts DESC, props DESC) AS rk
   FROM events)
+WHERE rk = 1""",
+        # point-in-time state view (kgpipe.temporal.state_at): latest
+        # per key among assertions at-or-before the cutoff
+        "state_at": """
+SELECT user_id, event_type, props, ts FROM (
+  SELECT user_id, event_type, props, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, props DESC) AS rk
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
 WHERE rk = 1""",
         # streaming upsert parity: final state == batch latest-per-key
         "stream_latest": """

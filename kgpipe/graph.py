@@ -173,6 +173,16 @@ def triangle_count(triples: DataFrame) -> DataFrame:
     Plan: 2 aggregations + 2 joins, all keyed on entity ids; no driver
     collection; counts are integers so the result is oracle-hashable.
     """
+    _deg, closed = _closed_wedges(triples)
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _closed_wedges(triples: DataFrame):
+    """Shared body of ``triangle_count`` / ``local_clustering``: returns
+    ``(deg, closed)`` where ``deg`` is ``(x, d)`` simple-graph degrees
+    and ``closed`` is one row per triangle with all three corner ids
+    ``(a, m, c)`` (its unique cyclic orientation under the (degree, id)
+    total order — each triangle appears exactly once)."""
     und = (
         _edges(triples, checkpoint=False)
         .filter(F.col("subj") != F.col("obj"))
@@ -212,7 +222,8 @@ def triangle_count(triples: DataFrame) -> DataFrame:
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-        .select(F.col("e1.a").alias("a"), F.col("e2.b").alias("c"))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("m"),
+                F.col("e2.b").alias("c"))
     )
     # inner (not semi) join: distinct oriented edges close each wedge at
     # most once, and wedges with the same (a, c) but different mids are
@@ -220,7 +231,35 @@ def triangle_count(triples: DataFrame) -> DataFrame:
     closed = wedges.join(
         oriented.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
     )
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return deg, closed
+
+
+def local_clustering(triples: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the undirected simple entity
+    graph: ``(entity, degree, n_triangles)`` for every node with at
+    least one edge.  The local clustering coefficient is
+    ``2*n_triangles / (degree*(degree-1))`` — left to callers as a
+    float; the output stays exact-integer so it is oracle-hashable
+    (same policy as ``lp_metrics``).
+
+    Same degree-oriented plan as ``triangle_count`` (wedge join bounded
+    by O(sqrt(m)) out-degree, hub-skew-proof), plus one corner explode —
+    3 rows per triangle — and one entity-keyed count joined back to the
+    degree table.  No step is quadratic in any node's degree.
+    """
+    deg, closed = _closed_wedges(triples)
+    corners = closed.select(
+        F.explode(F.array("a", "m", "c")).alias("entity")
+    )
+    tc = corners.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return (
+        deg.select(F.col("x").alias("entity"),
+                   F.col("d").cast("long").alias("degree"))
+        .join(tc, "entity", "left")
+        .fillna(0, subset=["n_triangles"])
+    )
 
 
 def pagerank(

@@ -18,6 +18,8 @@ DuckDB computes, so the whole sampler is oracle-hashable.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -379,3 +381,121 @@ def lp_metrics(ranks: DataFrame) -> DataFrame:
         .cast("long").alias("hits_at_10"),
         F.sum("rank").cast("long").alias("rank_sum"),
     )
+
+
+def biased_walks(
+    triples: DataFrame,
+    walk_length: int = 3,
+    walks_per_node: int = 2,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_far: int = 2,
+    seed: str = "n2v",
+    max_degree: Optional[int] = None,
+) -> DataFrame:
+    """Deterministic node2vec-style SECOND-ORDER biased walks over the
+    distinct directed entity graph: ``(start, walk, step, node)``, same
+    shape as ``random_walks``.  From step 2 on, the next-hop weight
+    depends on the PREVIOUS node exactly as in node2vec (Grover &
+    Leskovec 2016): ``w_return`` if the candidate IS the previous node
+    (distance 0 — their 1/p), ``w_common`` if the previous node has an
+    edge to it (distance 1), ``w_far`` otherwise (distance 2 — their
+    1/q), with INTEGER weights so the cumulative-weight draw
+    (``md5(start|walk|step|seed) %% total_weight``) is exact and
+    engine-portable.  Step 1 has no previous node and is uniform.
+
+    Plan per biased step: one equi-join of the frontier against the
+    ranked adjacency on the CURRENT node (this materializes each live
+    walk's candidate list — the irreducible cost of second-order bias;
+    per-walk cost is deg(cur), NOT deg^2: no per-edge alias tables),
+    one left join against the edge set keyed (prev, candidate) for the
+    distance-1 test, and one (start, walk)-keyed window for the
+    cumulative-weight pick.  A hub's join fan-out is walks-at-hub x
+    degree; ``max_degree`` truncates candidate lists to the first N
+    neighbors in rank order (same safe-by-default hub-guard pattern as
+    the graph family — set it when celebrity entities appear).
+    """
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    for nm, v in (("w_return", w_return), ("w_common", w_common),
+                  ("w_far", w_far)):
+        if not isinstance(v, int) or v < 0:
+            raise ValueError(f"{nm} must be a non-negative int, got {v!r}")
+    if w_return + w_common + w_far <= 0:
+        raise ValueError("at least one weight must be positive")
+
+    e = triples.select("subj", "obj").distinct()
+    adj_w = Window.partitionBy("subj").orderBy("obj")
+    adj = (
+        e.withColumn("idx", F.row_number().over(adj_w) - 1)
+        .select(F.col("subj").alias("node"), "idx",
+                F.col("obj").alias("nxt"))
+    )
+    if max_degree is not None:
+        adj = adj.filter(F.col("idx") < max_degree)
+    adj = adj.localCheckpoint(eager=True)
+    deg = adj.groupBy("node").agg(F.max("idx").alias("_m")).select(
+        "node", (F.col("_m") + 1).alias("deg"))
+    # distance-1 membership probe: does prev -> candidate exist?
+    common = adj.select(F.col("node").alias("prev"),
+                        F.col("nxt"), F.lit(1).alias("_c"))
+    nodes = (
+        e.select(F.col("subj").alias("node"))
+        .unionAll(e.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    state = (
+        nodes.withColumn(
+            "walk", F.explode(F.sequence(F.lit(0),
+                                         F.lit(walks_per_node - 1))))
+        .select(F.col("node").alias("start"), "walk",
+                F.lit(0).alias("step"), "node",
+                F.lit(None).cast("string").alias("prev"))
+        .localCheckpoint(eager=True)
+    )
+    out = state.select("start", "walk", "step", "node")
+    for s in range(1, walk_length + 1):
+        draw = _h32("start", F.col("walk").cast("string"),
+                    F.lit(str(s - 1)), F.lit(seed))
+        if s == 1:
+            # no previous node yet: uniform index draw (= random_walks)
+            nxt_state = (
+                state.join(deg, "node")
+                .withColumn("idx", F.pmod(draw, F.col("deg")))
+                .join(adj, ["node", "idx"])
+                .select("start", "walk", F.lit(s).alias("step"),
+                        F.col("nxt").alias("node"),
+                        F.col("node").alias("prev"))
+            )
+        else:
+            cand = (
+                state.join(adj, "node")
+                .join(common, ["prev", "nxt"], "left")
+                .withColumn(
+                    "w",
+                    F.when(F.col("nxt") == F.col("prev"),
+                           F.lit(w_return))
+                    .when(F.col("_c").isNotNull(), F.lit(w_common))
+                    .otherwise(F.lit(w_far)),
+                )
+            )
+            ww = Window.partitionBy("start", "walk").orderBy("idx")
+            cum = (
+                cand.withColumn("cum", F.sum("w").over(ww))
+                .withColumn(
+                    "tot",
+                    F.sum("w").over(Window.partitionBy("start", "walk")))
+                .withColumn("r", F.pmod(draw, F.col("tot")))
+            )
+            nxt_state = (
+                cum.filter((F.col("cum") - F.col("w") <= F.col("r"))
+                           & (F.col("r") < F.col("cum")))
+                .select("start", "walk", F.lit(s).alias("step"),
+                        F.col("nxt").alias("node"),
+                        F.col("node").alias("prev"))
+            )
+        state = nxt_state.localCheckpoint(eager=True)
+        out = out.unionAll(state.select("start", "walk", "step", "node"))
+    return out

@@ -214,3 +214,30 @@ def resolve_functional(
         .filter(F.col("_rk") == 1)
         .select("subj", "pred", "obj", "n_support")
     )
+
+
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """Characteristic-set summary of the KG (Neumann & Moerkotte, ICDE
+    2011): group subjects by the exact SET of predicates they carry —
+    ``(pred_set, n_subjects, n_triples)`` with ``pred_set`` the sorted
+    comma-joined distinct predicates.  This is the standard structural
+    fingerprint of an RDF corpus: cardinality estimators key on it, and
+    a new pred_set appearing between builds is a cheap schema-drift
+    alarm alongside ``domain_range_violations``.
+
+    Two hash aggregations: per-subject (``collect_set`` bounded by the
+    predicate VOCABULARY size, a few dozen in any real KG — never by
+    subject degree, duplicates collapse map-side) then per-signature
+    over at most #subjects tiny rows.  All-integer counts + a canonical
+    sorted signature string = oracle-hashable.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    per_subj = t.groupBy("subj").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("pred"))).alias("pred_set"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_subj.groupBy("pred_set").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum("n").cast("long").alias("n_triples"),
+    )

@@ -128,6 +128,29 @@ def latest_by_key(
     )
 
 
+def state_at(
+    df: DataFrame,
+    at,
+    keys: Sequence[str] = ("subj", "pred"),
+    ts: str = "ts",
+    tie_cols: Optional[Sequence[str]] = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Point-in-time (time-travel) view of a temporal fact table: the
+    latest row per ``keys`` as of timestamp ``at`` — i.e.
+    ``latest_by_key`` restricted to assertions with ``ts <= at``
+    (``strict=True`` excludes the boundary instant).  Keys first
+    asserted after ``at`` are absent, exactly as the KG looked then.
+
+    The cutoff is a plain comparison pushed to the scan (partition/
+    row-group pruning on a ts-partitioned table is free), then the same
+    single-exchange top-1 window as ``latest_by_key`` — history depth
+    adds scan volume but never extra shuffles.
+    """
+    cmp = F.col(ts) < F.lit(at) if strict else F.col(ts) <= F.lit(at)
+    return latest_by_key(df.filter(cmp), keys, ts, tie_cols)
+
+
 def validity_intervals(
     df: DataFrame,
     keys: Sequence[str] = ("subj", "pred"),

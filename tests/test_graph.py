@@ -291,3 +291,30 @@ def test_label_propagation_deterministic(spark):
     r1 = sorted(map(tuple, label_propagation(t, iters=3).collect()))
     r2 = sorted(map(tuple, label_propagation(t, iters=3).collect()))
     assert r1 == r2
+
+
+def test_local_clustering_k4_with_pendant(spark):
+    from kgpipe.graph import local_clustering
+
+    # K4 on {a,b,c,d} (every node: deg 3, 3 triangles) + pendant d-e
+    k4 = ["ab", "ac", "ad", "bc", "bd", "cd"]
+    rows = [(e[0], "p", e[1]) for e in k4] + [("d", "p", "e")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {r["entity"]: (r["degree"], r["n_triangles"])
+           for r in local_clustering(t).collect()}
+    assert got["a"] == (3, 3) and got["b"] == (3, 3)
+    assert got["c"] == (3, 3) and got["d"] == (4, 3)
+    assert got["e"] == (1, 0)
+    # global count == sum of corner credits / 3
+    assert sum(v[1] for v in got.values()) == 3 * 4
+
+
+def test_local_clustering_matches_global(spark):
+    from kgpipe.graph import local_clustering, triangle_count
+
+    rows = [(f"n{(7 * i) % 23}", "p", f"n{(11 * i + 3) % 23}")
+            for i in range(60)]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    total = triangle_count(t).collect()[0]["n_triangles"]
+    per_node = local_clustering(t).collect()
+    assert sum(r["n_triangles"] for r in per_node) == 3 * total

@@ -195,3 +195,71 @@ def test_lp_metrics_integers(spark):
     m = lp_metrics(ranks).collect()[0]
     assert (m["n_test"], m["hits_at_1"], m["hits_at_10"],
             m["rank_sum"]) == (3, 1, 2, 38)
+
+
+def test_biased_walks_exact_python_parity(spark):
+    import hashlib
+
+    from kgpipe.kgtrain import biased_walks
+
+    edges = [("a", "p", "b"), ("a", "p", "c"), ("b", "p", "a"),
+             ("b", "p", "c"), ("c", "p", "a"), ("c", "p", "d"),
+             ("d", "p", "b")]
+    t = spark.createDataFrame(edges, ["subj", "pred", "obj"])
+    got = {(r["start"], r["walk"], r["step"]): r["node"]
+           for r in biased_walks(t, walk_length=3, walks_per_node=2,
+                                 w_return=1, w_common=4,
+                                 w_far=2).collect()}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    adj = {}
+    for s, _, o in edges:
+        adj.setdefault(s, set()).add(o)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    nodes = sorted({s for s, _, _ in edges} | {o for _, _, o in edges})
+
+    expect = {}
+    for start in nodes:
+        for walk in (0, 1):
+            expect[(start, walk, 0)] = start
+            prev, cur = None, start
+            for step in range(1, 4):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                r = h32(f"{start}|{walk}|{step - 1}|n2v")
+                if prev is None:
+                    nxt = nbrs[r % len(nbrs)]
+                else:
+                    ws = [1 if x == prev
+                          else 4 if x in adj.get(prev, ())
+                          else 2 for x in nbrs]
+                    rr = r % sum(ws)
+                    cum = 0
+                    for x, w in zip(nbrs, ws):
+                        cum += w
+                        if rr < cum:
+                            nxt = x
+                            break
+                expect[(start, walk, step)] = nxt
+                prev, cur = cur, nxt
+    assert got == expect
+
+
+def test_biased_walks_validates_and_guards(spark):
+    from kgpipe.kgtrain import biased_walks
+
+    t = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    with pytest.raises(ValueError):
+        biased_walks(t, w_return=-1)
+    with pytest.raises(ValueError):
+        biased_walks(t, w_return=0, w_common=0, w_far=0)
+    # max_degree truncates candidate lists but still yields walks
+    rows = [("h", "p", f"n{i}") for i in range(10)] + [("n0", "p", "h")]
+    g = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = biased_walks(g, walk_length=2, walks_per_node=1, max_degree=3)
+    picked = {r["node"] for r in out.collect() if r["step"] == 1
+              and r["start"] == "h"}
+    assert picked <= {"n0", "n1", "n2"}

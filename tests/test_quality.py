@@ -101,3 +101,18 @@ def test_predicate_completeness(triples):
     assert rep["http://p/title"]["n_missing"] == 1
     # neither conversation node itself has a hasRole triple (turns do)
     assert rep["http://p/hasRole"]["n_present"] == 0
+
+
+def test_characteristic_sets(spark):
+    from kgpipe.quality import characteristic_sets
+
+    rows = [
+        ("s1", "p", "x"), ("s1", "q", "y"), ("s1", "p", "z"),
+        ("s2", "q", "a"), ("s2", "p", "b"),
+        ("s3", "p", "c"),
+        ("s1", "p", "x"),  # duplicate triple must not inflate counts
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {r["pred_set"]: (r["n_subjects"], r["n_triples"])
+           for r in characteristic_sets(t).collect()}
+    assert got == {"p,q": (2, 5), "p": (1, 1)}

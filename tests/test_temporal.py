@@ -206,3 +206,23 @@ def test_state_snapshot_crash_consistency(spark, tmp_path):
     assert read_state_snapshot(spark, path).count() == 2
     # previous snapshot remains readable (time travel)
     assert spark.read.parquet(os.path.join(path, "snap-1")).count() == 1
+
+
+def test_state_at_cutoff_and_strict(spark):
+    from kgpipe.temporal import state_at
+
+    log = spark.createDataFrame(
+        [("k1", _ts(1), "v1"), ("k1", _ts(5), "v2"), ("k1", _ts(9), "v3"),
+         ("k2", _ts(7), "w1")],
+        "key string, ts timestamp, val string",
+    )
+    got = {r["key"]: r["val"]
+           for r in state_at(log, _ts(5), keys=("key",)).collect()}
+    assert got == {"k1": "v2"}  # k2 not yet asserted at t=5
+    strict = {r["key"]: r["val"]
+              for r in state_at(log, _ts(5), keys=("key",),
+                                strict=True).collect()}
+    assert strict == {"k1": "v1"}
+    late = {r["key"]: r["val"]
+            for r in state_at(log, _ts(100), keys=("key",)).collect()}
+    assert late == {"k1": "v3", "k2": "w1"}
