@@ -1382,6 +1382,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return characteristic_sets(_triples(spark, sf_dir))
 
+    def q_degree_hist(spark, sf_dir):
+        from kgpipe.graph import degree_histogram
+
+        return degree_histogram(_triples(spark, sf_dir))
+
+    def q_temporal_conflicts(spark, sf_dir):
+        from kgpipe.temporal import temporal_conflicts, validity_intervals
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "event_type", "props", "ts")
+        # two synthetic sources (event-id parity): each source's chained
+        # intervals never overlap, so every conflict is cross-source
+        srcs = [
+            validity_intervals(
+                ev.filter(F.pmod("event_id", F.lit(2)) == i)
+                .select("user_id", "event_type", "props", "ts"),
+                keys=("user_id", "event_type"), ts="ts")
+            for i in (0, 1)
+        ]
+        return temporal_conflicts(
+            srcs[0].unionByName(srcs[1]),
+            keys=("user_id", "event_type"), value_col="props")
+
     def q_state_at(spark, sf_dir):
         from datetime import datetime
 
@@ -2070,6 +2093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": q_local_clustering,
         "char_sets": q_char_sets,
         "state_at": q_state_at,
+        "degree_hist": q_degree_hist,
+        "temporal_conflicts": q_temporal_conflicts,
         "verb_relations": q_verb_relations,
         "conv_features": q_conv_features,
         "curate": q_curate,
@@ -2850,6 +2875,17 @@ tc AS (
 SELECT deg.x AS entity, deg.d::bigint AS degree,
        coalesce(tc.n_triangles, 0)::bigint AS n_triangles
 FROM deg LEFT JOIN tc ON deg.x = tc.entity""",
+        # log2-bucketed degree distribution
+        # (kgpipe.graph.degree_histogram; integer bucket via binary
+        # string length — no float log2)
+        "degree_hist": f"""
+{_SQL_TRIPLES},{_SQL_UND},
+dh AS (SELECT a, count(*) AS d FROM und GROUP BY a)
+SELECT (length(to_base(d, 2)) - 1)::int AS bucket,
+       count(*)::bigint AS n_nodes,
+       min(d)::bigint AS min_degree,
+       max(d)::bigint AS max_degree
+FROM dh GROUP BY 1""",
         # characteristic sets (kgpipe.quality.characteristic_sets):
         # subjects grouped by their exact sorted predicate signature
         "char_sets": f"""
@@ -3164,6 +3200,26 @@ SELECT user_id, event_type, props, ts FROM (
                             ORDER BY ts DESC, props DESC) AS rk
   FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
 WHERE rk = 1""",
+        # cross-source overlapping-interval conflicts
+        # (kgpipe.temporal.temporal_conflicts over two parity sources'
+        # validity_intervals; strict overlap, zero-length excluded)
+        "temporal_conflicts": """
+WITH iv AS (
+  SELECT user_id, event_type, props,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id, event_type, event_id % 2
+                        ORDER BY ts, props) AS valid_to
+  FROM events),
+ivf AS (SELECT * FROM iv
+        WHERE valid_to IS NULL OR valid_to > valid_from)
+SELECT a.user_id, a.event_type, a.props AS val_a, b.props AS val_b,
+       a.valid_from AS from_a, a.valid_to AS to_a,
+       b.valid_from AS from_b, b.valid_to AS to_b
+FROM ivf a JOIN ivf b
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+WHERE a.props < b.props
+  AND (b.valid_to IS NULL OR a.valid_from < b.valid_to)
+  AND (a.valid_to IS NULL OR b.valid_from < a.valid_to)""",
         # streaming upsert parity: final state == batch latest-per-key
         "stream_latest": """
 SELECT user_id, event_type, props, ts FROM (

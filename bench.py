@@ -166,7 +166,8 @@ def run_default(reps: int | None = None) -> None:
             for name in ["mention_detect", "cooccurrence", "minhash_pairs",
                          "cosine_topk", "lineitem_pricing", "dedup_exact",
                          "graph_triangles", "ego_network", "asof_events",
-                         "closure", "bfs_dist"]:
+                         "closure", "bfs_dist", "n2v_walks", "lp_ranks",
+                         "local_clustering"]:
                 timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
             # headline 5: PageRank over the sf triple graph (iterative/

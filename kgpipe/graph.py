@@ -578,3 +578,29 @@ def label_propagation(triples: DataFrame, iters: int = 4) -> DataFrame:
     return labels.select(
         F.col("id").alias("entity"), F.col("lbl").alias("label")
     )
+
+
+def degree_histogram(triples: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution of the undirected simple
+    entity graph: ``(bucket, n_nodes, min_degree, max_degree)`` where
+    ``bucket = floor(log2(degree))`` — the one-page skew profile that
+    says whether hub guards (two_hop/ego caps) will bite BEFORE the
+    expensive jobs run.
+
+    The bucket is computed as ``len(binary(degree)) - 1`` — exact
+    integer arithmetic (no float log2, whose rounding at power-of-2
+    boundaries is engine-dependent).  One degree aggregation + one
+    ~60-row bucket aggregate; nothing scales past the node count.
+    """
+    deg = _und_edges(triples).groupBy("a").agg(
+        F.count(F.lit(1)).alias("d"))
+    bucket = (F.length(F.conv(F.col("d").cast("string"), 10, 2)) - 1)
+    return (
+        deg.select(F.col("d"), bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+        )
+    )

@@ -225,3 +225,44 @@ def read_state_snapshot(spark, path: str) -> DataFrame:
     if snap is None:
         raise FileNotFoundError(f"no committed state snapshot under {p}")
     return spark.read.parquet(os.path.join(p, snap))
+
+
+def temporal_conflicts(
+    intervals: DataFrame,
+    keys: Sequence[str] = ("subj", "pred"),
+    value_col: str = "obj",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Pairs of validity intervals that OVERLAP in time on the same key
+    while asserting DIFFERENT values — the temporal-KG integrity check
+    run after merging multiple sources' ``validity_intervals`` outputs
+    (one source's chained intervals never overlap by construction; a
+    second source asserting a conflicting value at the same instant is
+    exactly what this surfaces): ``(*keys, val_a, val_b, from_a, to_a,
+    from_b, to_b)``, each conflicting pair once (``val_a < val_b``).
+
+    Overlap is strict (``a.from < b.to AND b.from < a.to``; an open
+    ``valid_to`` is NULL = unbounded), so intervals that merely touch
+    at a boundary — the normal SCD-2 chaining — never match, and
+    zero-length intervals (duplicate-ts chains) are excluded.
+
+    One self-equi-join keyed on ``keys``: per-key cost is the square of
+    that key's VERSION count (history depth), never of the corpus —
+    the usual temporal-table shape where keys carry tens of versions.
+    """
+    keys = list(keys)
+    nonzero = F.col(to_col).isNull() | (F.col(to_col) > F.col(from_col))
+    base = intervals.select(
+        *keys, value_col, from_col, to_col).filter(nonzero)
+    a = base.select(
+        *keys, F.col(value_col).alias("val_a"),
+        F.col(from_col).alias("from_a"), F.col(to_col).alias("to_a"))
+    b = base.select(
+        *keys, F.col(value_col).alias("val_b"),
+        F.col(from_col).alias("from_b"), F.col(to_col).alias("to_b"))
+    return a.join(b, keys).filter(
+        (F.col("val_a") < F.col("val_b"))
+        & (F.col("to_b").isNull() | (F.col("from_a") < F.col("to_b")))
+        & (F.col("to_a").isNull() | (F.col("from_b") < F.col("to_a")))
+    )

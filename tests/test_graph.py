@@ -318,3 +318,20 @@ def test_local_clustering_matches_global(spark):
     total = triangle_count(t).collect()[0]["n_triangles"]
     per_node = local_clustering(t).collect()
     assert sum(r["n_triangles"] for r in per_node) == 3 * total
+
+
+def test_degree_histogram(spark):
+    from kgpipe.graph import degree_histogram
+
+    # star: hub h with 9 leaves (deg 9 -> bucket 3); leaves deg 1 ->
+    # bucket 0; plus a 4-cycle (degrees 2 -> bucket 1)
+    rows = [("h", "p", f"l{i}") for i in range(9)]
+    rows += [("c0", "p", "c1"), ("c1", "p", "c2"), ("c2", "p", "c3"),
+             ("c3", "p", "c0")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {r["bucket"]: (r["n_nodes"], r["min_degree"], r["max_degree"])
+           for r in degree_histogram(t).collect()}
+    assert got[0] == (9, 1, 1)
+    assert got[1] == (4, 2, 2)
+    assert got[3] == (1, 9, 9)
+    assert set(got) == {0, 1, 3}

@@ -226,3 +226,31 @@ def test_state_at_cutoff_and_strict(spark):
     late = {r["key"]: r["val"]
             for r in state_at(log, _ts(100), keys=("key",)).collect()}
     assert late == {"k1": "v3", "k2": "w1"}
+
+
+def test_temporal_conflicts(spark):
+    from kgpipe.temporal import temporal_conflicts
+
+    iv = spark.createDataFrame(
+        [
+            # touching intervals (SCD-2 chain): NOT a conflict
+            ("k", "u", _ts(0), _ts(5)), ("k", "v", _ts(5), _ts(9)),
+            # cross-source overlap with different value: conflict
+            ("k", "w", _ts(3), _ts(6)),
+            # overlap with SAME value: not a conflict
+            ("k", "u", _ts(1), _ts(4)),
+            # zero-length interval inside another: excluded
+            ("k", "z", _ts(2), _ts(2)),
+            # open interval overlapping everything after t=8
+            ("k", "q", _ts(8), None),
+        ],
+        "key string, obj string, valid_from timestamp, valid_to timestamp",
+    )
+    got = {(r["val_a"], r["val_b"]) for r in
+           temporal_conflicts(iv, keys=("key",), value_col="obj",
+                              ).collect()}
+    # u[0,5) vs w[3,6) twice; v[5,9) vs w[3,6); q[8,inf) vs v[5,9)
+    assert got == {("u", "w"), ("v", "w"), ("q", "v")}
+    n = (temporal_conflicts(iv, keys=("key",), value_col="obj")
+         .count())
+    assert n == 4  # u appears twice against w (two u intervals)
