@@ -49,6 +49,13 @@ TECH_CANON = {  # canonical labels differ from variants (Mayla rule)
     "T:0001": "Spark Engine", "T:0002": "Window Operator",
     "T:0003": "Vector Value", "T:0004": "Fast Table", "T:0005": "Customer Entity",
 }
+# 3-level is-a DAG over the TECH concepts (T:0004 is multi-parent) —
+# mirrored literally by the mention_ancestors oracle's VALUES list
+TECH_ISA = [
+    ("T:0001", "T:0101"), ("T:0002", "T:0101"),
+    ("T:0003", "T:0102"), ("T:0004", "T:0102"), ("T:0004", "T:0101"),
+    ("T:0101", "T:0200"), ("T:0102", "T:0200"), ("T:0005", "T:0200"),
+]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +184,17 @@ m2 AS (
   WHERE a.tok = 'fast' AND b.tok = 'table'
 ),
 mentions AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)"""
+
+# mentions re-derived over trigger-injected transcripts (the
+# negated_mentions oracle): the same detection body with its token scan
+# reading the 'not '-prefixed view
+_SQL_MENTIONS_NEG = _SQL_TRANSCRIPTS + """,
+transcripts_neg AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 5 = 0 THEN 'not ' || text
+              ELSE text END AS text
+  FROM transcripts)""" + _SQL_MENTIONS[len(_SQL_TRANSCRIPTS):].replace(
+    "FROM transcripts\n", "FROM transcripts_neg\n")
 
 # full triple construction (all families incl. banded co-occurrence) as a
 # reusable prefix: kg_triples projects it raw; the graph_* analytics
@@ -1382,6 +1400,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return characteristic_sets(_triples(spark, sf_dir))
 
+    def q_mention_ancestors(spark, sf_dir):
+        from kgpipe.infer import expand_ancestors
+
+        isa = spark.createDataFrame(TECH_ISA, ["child", "parent"])
+        return expand_ancestors(_mentions(spark, sf_dir), isa)
+
+    def q_negated_mentions(spark, sf_dir):
+        from kgpipe.detect import detect_mentions
+        from kgpipe.filters import negated_mentions
+
+        t = _transcripts(spark, sf_dir)
+        # the synthetic corpus contains no natural negation triggers, so
+        # inject a deterministic 'not ' prefix on every 5th turn (both
+        # engines; mention offsets shift identically)
+        tmod = t.withColumn(
+            "text",
+            F.when(F.col("turn_idx") % 5 == 0,
+                   F.concat(F.lit("not "), F.col("text")))
+            .otherwise(F.col("text")))
+        m = detect_mentions(
+            tmod, _tech_dictionary(spark), configs={"TECH": TECH_CFG}
+        ).select("conv_id", "turn_idx", "concept_id", "begin", "end",
+                 "covered_text")
+        return negated_mentions(m, tmod)
+
     def q_degree_hist(spark, sf_dir):
         from kgpipe.graph import degree_histogram
 
@@ -2095,6 +2138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_at": q_state_at,
         "degree_hist": q_degree_hist,
         "temporal_conflicts": q_temporal_conflicts,
+        "mention_ancestors": q_mention_ancestors,
+        "negated_mentions": q_negated_mentions,
         "verb_relations": q_verb_relations,
         "conv_features": q_conv_features,
         "curate": q_curate,
@@ -3200,6 +3245,28 @@ SELECT user_id, event_type, props, ts FROM (
                             ORDER BY ts DESC, props DESC) AS rk
   FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
 WHERE rk = 1""",
+        # ancestor-closure expansion of detected mentions
+        # (kgpipe.infer.expand_ancestors over the TECH_ISA DAG)
+        "mention_ancestors": f"""WITH RECURSIVE {_SQL_MENTIONS.lstrip()},
+isa(child, parent) AS (VALUES
+  ('T:0001','T:0101'), ('T:0002','T:0101'), ('T:0003','T:0102'),
+  ('T:0004','T:0102'), ('T:0004','T:0101'), ('T:0101','T:0200'),
+  ('T:0102','T:0200'), ('T:0005','T:0200')),
+clo AS (
+  SELECT child AS node, parent AS anc FROM isa
+  UNION
+  SELECT c.node, i.parent FROM clo c JOIN isa i ON c.anc = i.child)
+SELECT m.conv_id, m.turn_idx, m.concept_id, m.begin, m."end",
+       m.covered_text, c.anc AS ancestor
+FROM mentions m JOIN clo c ON c.node = m.concept_id""",
+        # NegEx-style pre-window negation flags
+        # (kgpipe.filters.negated_mentions over trigger-injected turns)
+        "negated_mentions": f"""WITH {_SQL_MENTIONS_NEG.lstrip()}
+SELECT m.conv_id, m.turn_idx, m.concept_id, m.begin, m."end",
+       m.covered_text,
+       regexp_matches(right(left(t.text, m.begin), 40),
+         '(?i)\\b(no|not|without|never|denies)\\b[^.;]*$') AS negated
+FROM mentions m JOIN transcripts_neg t USING (conv_id, turn_idx)""",
         # cross-source overlapping-interval conflicts
         # (kgpipe.temporal.temporal_conflicts over two parity sources'
         # validity_intervals; strict overlap, zero-length excluded)

@@ -51,3 +51,36 @@ def override_set(df: DataFrame, set_name: str) -> DataFrame:
     """AnnotatorOverrider_AE / AnnotationSetOverrider_AE — label annotations
     as gold vs eval before union (``EvaluationPipeline.java:171-208``)."""
     return df.withColumn("set", F.lit(set_name))
+
+
+NEGATION_TRIGGERS = ("no", "not", "without", "never", "denies")
+
+
+def negated_mentions(
+    mentions: DataFrame,
+    transcripts: DataFrame,
+    window: int = 40,
+    triggers: tuple[str, ...] = NEGATION_TRIGGERS,
+) -> DataFrame:
+    """NegEx-style negation flagging (Chapman et al., J Biomed Inform
+    2001 — the standard public algorithm, pre-trigger window variant):
+    a mention is ``negated`` when a trigger word occurs in the
+    ``window`` characters immediately before its span with no clause
+    boundary (``.`` or ``;``) between trigger and mention.  Output =
+    the mention columns + ``negated`` boolean.
+
+    The window is ``right(left(text, begin), window)`` — identical
+    1-based substring semantics in Spark SQL and DuckDB, so the flag is
+    oracle-hashable.  One broadcast-friendly equi-join on
+    (conv_id, turn_idx) + a JVM-side regexp: no Python, no extra
+    exchange beyond the join (which co-partitions with the detector's
+    own output key).
+    """
+    pat = r"(?i)\b(" + "|".join(triggers) + r")\b[^.;]*$"
+    t = transcripts.select("conv_id", "turn_idx", "text")
+    pre = F.expr(f"right(left(text, begin), {int(window)})")
+    return (
+        mentions.join(t, ["conv_id", "turn_idx"])
+        .withColumn("negated", pre.rlike(pat))
+        .drop("text")
+    )

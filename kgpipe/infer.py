@@ -275,3 +275,34 @@ def match_pattern(
         acc = acc.join(frame, sorted(bound & vs))
         bound |= vs
     return acc.distinct()
+
+
+def expand_ancestors(
+    mentions: DataFrame,
+    isa: DataFrame,
+    concept_col: str = "concept_id",
+    src: str = "child",
+    dst: str = "parent",
+) -> DataFrame:
+    """Semantic-category expansion of detected mentions: one row per
+    (mention, strict ancestor) pair under the ontology's is-a DAG —
+    the coarser-granularity view evaluation and rollup queries consume
+    (a CL:0000540 mention also counts as its CL:0000000 ancestor; the
+    reference's eval groups work at such ancestor classes via the
+    subtree machinery mirrored in kgpipe.filters.remove_subtree).
+    Output = the mention columns + ``ancestor``; mentions whose concept
+    has no ancestor produce no rows (union the originals for a
+    reflexive view).
+
+    Plan: the closure is computed once over the ONTOLOGY edge set
+    (vocabulary-sized — thousands of nodes, never corpus-sized) and the
+    mention join is a broadcast hash join on the concept id: zero
+    shuffles of the corpus-side mentions.
+    """
+    closure = transitive_closure(isa, src=src, dst=dst)
+    return mentions.join(
+        F.broadcast(closure.select(
+            F.col("node").alias(concept_col),
+            F.col("anc").alias("ancestor"))),
+        concept_col,
+    )

@@ -221,3 +221,20 @@ def test_resolve_functional_majority_and_tie(spark):
     got = {(r.subj, r.obj, r.n_support) for r in
            resolve_functional(tri, ["hasRole"]).collect()}
     assert got == {("t1", "user", 2), ("t2", "a", 1)}
+
+
+def test_expand_ancestors(spark):
+    from kgpipe.infer import expand_ancestors
+
+    mentions = spark.createDataFrame(
+        [("c1", 0, "A", 0, 3, "foo"), ("c1", 1, "B", 4, 7, "bar"),
+         ("c1", 2, "Z", 0, 1, "no-parents")],
+        ["conv_id", "turn_idx", "concept_id", "begin", "end",
+         "covered_text"])
+    isa = spark.createDataFrame(
+        [("A", "M1"), ("A", "M2"), ("M1", "R"), ("M2", "R"), ("B", "R")],
+        ["child", "parent"])
+    got = {(r["concept_id"], r["ancestor"])
+           for r in expand_ancestors(mentions, isa).collect()}
+    # diamond dedup: A reaches R via both mids but yields ONE (A, R) row
+    assert got == {("A", "M1"), ("A", "M2"), ("A", "R"), ("B", "R")}

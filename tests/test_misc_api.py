@@ -113,3 +113,25 @@ def test_assume_unique_turns_duplicate_input_rows(spark):
         PipelineConfig(disambiguate=False, canonical=False,
                        assume_unique_turns=False))
     assert lenient.count() == 1
+
+
+def test_negated_mentions(spark):
+    from kgpipe.filters import negated_mentions
+
+    t = spark.createDataFrame(
+        [("c", 0, "there is no spark here"),
+         ("c", 1, "not at all. the spark works"),
+         ("c", 2, "the spark works without issue")],
+        ["conv_id", "turn_idx", "text"])
+    # spans of the literal word 'spark' in each turn
+    m = spark.createDataFrame(
+        [("c", 0, "T:0001", 12, 17, "spark"),
+         ("c", 1, "T:0001", 16, 21, "spark"),
+         ("c", 2, "T:0001", 4, 9, "spark")],
+        ["conv_id", "turn_idx", "concept_id", "begin", "end",
+         "covered_text"])
+    got = {r["turn_idx"]: r["negated"]
+           for r in negated_mentions(m, t).collect()}
+    assert got[0] is True       # 'no' in pre-window, no boundary
+    assert got[1] is False      # 'not' present but '.' intervenes
+    assert got[2] is False      # trigger is AFTER the span
