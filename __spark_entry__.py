@@ -1400,6 +1400,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return characteristic_sets(_triples(spark, sf_dir))
 
+    def q_topic_boundaries(spark, sf_dir):
+        from kgpipe.convops import topic_boundaries
+
+        return topic_boundaries(_conv_transcripts(spark, sf_dir),
+                                threshold_pct=25)
+
+    def q_dialogue_acts(spark, sf_dir):
+        from kgpipe.convops import dialogue_acts
+
+        t = _transcripts(spark, sf_dir)
+        # word-salad corpus has no '?': deterministically append one on
+        # every 7th turn so all three act classes are exercised
+        tmod = t.withColumn(
+            "text",
+            F.when(F.col("turn_idx") % 7 == 0,
+                   F.concat(F.col("text"), F.lit("?")))
+            .otherwise(F.col("text")))
+        return dialogue_acts(tmod)
+
     def q_mention_ancestors(spark, sf_dir):
         from kgpipe.infer import expand_ancestors
 
@@ -2140,6 +2159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_conflicts": q_temporal_conflicts,
         "mention_ancestors": q_mention_ancestors,
         "negated_mentions": q_negated_mentions,
+        "topic_boundaries": q_topic_boundaries,
+        "dialogue_acts": q_dialogue_acts,
         "verb_relations": q_verb_relations,
         "conv_features": q_conv_features,
         "curate": q_curate,
@@ -3245,6 +3266,44 @@ SELECT user_id, event_type, props, ts FROM (
                             ORDER BY ts DESC, props DESC) AS rk
   FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
 WHERE rk = 1""",
+        # TextTiling-style adjacent-turn lexical cohesion
+        # (kgpipe.convops.topic_boundaries, threshold 25%)
+        "topic_boundaries": """
+WITH ct AS (
+  SELECT source || '-' || (doc_id % 10)::varchar AS conv_id,
+         (doc_id // 10)::int AS turn_idx,
+         list_distinct(string_split(lower(text), ' ')) AS toks
+  FROM documents),
+tb AS (
+  SELECT conv_id, turn_idx, toks,
+         lag(toks) OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx) AS prev
+  FROM ct)
+SELECT conv_id, turn_idx,
+       len(list_intersect(toks, prev))::int AS n_inter,
+       len(list_distinct(list_concat(toks, prev)))::int AS n_union,
+       len(list_intersect(toks, prev)) * 100
+         < 25 * len(list_distinct(list_concat(toks, prev)))
+         AS boundary
+FROM tb WHERE prev IS NOT NULL""",
+        # surface-form dialogue-act classification
+        # (kgpipe.convops.dialogue_acts; '?' injected on 7th turns)
+        "dialogue_acts": """
+WITH t AS (
+  SELECT source AS conv_id, (doc_id // 20)::int AS turn_idx,
+         CASE (doc_id % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         CASE WHEN (doc_id // 20) % 7 = 0 THEN text || '?'
+              ELSE text END AS text
+  FROM documents)
+SELECT conv_id, turn_idx, role,
+       CASE WHEN trim(text) LIKE '%?' THEN 'question'
+            WHEN lower(string_split(trim(text), ' ')[1]) IN
+                 ('merge','filter','scan','sort','join','group',
+                  'query','run','show','list','create','delete',
+                  'update','set') THEN 'command'
+            ELSE 'statement' END AS act
+FROM t""",
         # ancestor-closure expansion of detected mentions
         # (kgpipe.infer.expand_ancestors over the TECH_ISA DAG)
         "mention_ancestors": f"""WITH RECURSIVE {_SQL_MENTIONS.lstrip()},

@@ -94,3 +94,71 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.max(F.length("text")).alias("max_turn_chars"),
     )
+
+
+def topic_boundaries(
+    transcripts: DataFrame, threshold_pct: int = 25
+) -> DataFrame:
+    """TextTiling-style lexical-cohesion topic segmentation (Hearst,
+    CL 1997 — the adjacent-block token-overlap variant): for every turn
+    after its conversation's first, compare the turn's distinct token
+    set with the previous turn's; a topic boundary opens when the
+    Jaccard overlap falls below ``threshold_pct`` percent.  Output =
+    ``(conv_id, turn_idx, n_inter, n_union, boundary)`` with the
+    comparison kept in EXACT integers (``n_inter * 100 <
+    threshold_pct * n_union`` — no float ratio, so the flag is
+    oracle-hashable and threshold semantics are engine-identical).
+
+    One conv_id window exchange (the partitioning every transcript
+    operator in this module rides) + JVM array set ops; token arrays
+    live only inside the lag/compare, never in the shuffle key.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cur = transcripts.withColumn("_toks", toks)
+    prev = F.lag("_toks").over(w)
+    return (
+        cur.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("n_inter",
+                    F.size(F.array_intersect("_toks", "_prev")))
+        .withColumn("n_union", F.size(F.array_union("_toks", "_prev")))
+        .select(
+            "conv_id", "turn_idx", "n_inter", "n_union",
+            (F.col("n_inter") * 100
+             < F.lit(int(threshold_pct)) * F.col("n_union"))
+            .alias("boundary"),
+        )
+    )
+
+
+DIALOGUE_ACT_VERBS = (
+    "merge", "filter", "scan", "sort", "join", "group", "query",
+    "run", "show", "list", "create", "delete", "update", "set",
+)
+
+
+def dialogue_acts(
+    transcripts: DataFrame,
+    imperative_verbs: tuple[str, ...] = DIALOGUE_ACT_VERBS,
+) -> DataFrame:
+    """Heuristic per-turn dialogue-act classification for agent
+    transcripts: ``question`` when the trimmed text ends with ``?``,
+    ``command`` when the first token (lowercased) is an imperative
+    verb, else ``statement`` — ``(conv_id, turn_idx, role, act)``.
+    The deterministic surface-form rule set (punctuation + initial
+    verb) is the standard cheap baseline ahead of any learned DA
+    tagger; swap the verb list per domain.
+
+    Pure narrow column expressions on the existing partitioning — no
+    window, no shuffle, no Python.
+    """
+    first_tok = F.lower(F.element_at(
+        F.split(F.trim(F.col("text")), " "), 1))
+    act = (
+        F.when(F.trim(F.col("text")).endswith("?"), F.lit("question"))
+        .when(first_tok.isin(*imperative_verbs), F.lit("command"))
+        .otherwise(F.lit("statement"))
+    )
+    return transcripts.select(
+        "conv_id", "turn_idx", "role", act.alias("act"))

@@ -105,3 +105,31 @@ def test_conversation_features(spark):
             c1["n_tool_calls"]) == (3, 1, 1, 1)
     assert c1["total_chars"] == 2 + 11 + 6 and c1["max_turn_chars"] == 11
     assert got["c2"]["n_turns"] == 1
+
+
+def test_topic_boundaries(spark):
+    from kgpipe.convops import topic_boundaries
+
+    t = spark.createDataFrame(
+        [("c", 0, "alpha beta gamma"),
+         ("c", 1, "alpha beta delta"),      # 2/4 = 50% overlap
+         ("c", 2, "epsilon zeta eta"),      # 0/6 -> boundary
+         ("d", 0, "solo turn here")],       # first turn: no row
+        ["conv_id", "turn_idx", "text"])
+    got = {r["turn_idx"]: (r["n_inter"], r["n_union"], r["boundary"])
+           for r in topic_boundaries(t, threshold_pct=25).collect()}
+    assert got == {1: (2, 4, False), 2: (0, 6, True)}
+
+
+def test_dialogue_acts(spark):
+    from kgpipe.convops import dialogue_acts
+
+    t = spark.createDataFrame(
+        [("c", 0, "user", "what is this?"),
+         ("c", 1, "assistant", "merge the tables now"),
+         ("c", 2, "user", "the weather is nice"),
+         ("c", 3, "tool", "Sort results by key")],  # case-folded verb
+        ["conv_id", "turn_idx", "role", "text"])
+    got = {r["turn_idx"]: r["act"] for r in dialogue_acts(t).collect()}
+    assert got == {0: "question", 1: "command", 2: "statement",
+                   3: "command"}
