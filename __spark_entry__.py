@@ -1400,6 +1400,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return characteristic_sets(_triples(spark, sf_dir))
 
+    def q_pra_features(spark, sf_dir):
+        from kgpipe.kgtrain import pra_path_features
+
+        return pra_path_features(_triples(spark, sf_dir))
+
+    def q_turn_retries(spark, sf_dir):
+        from kgpipe.convops import turn_retries
+
+        return turn_retries(_conv_transcripts(spark, sf_dir),
+                            threshold_pct=75)
+
     def q_topic_boundaries(spark, sf_dir):
         from kgpipe.convops import topic_boundaries
 
@@ -2161,6 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negated_mentions": q_negated_mentions,
         "topic_boundaries": q_topic_boundaries,
         "dialogue_acts": q_dialogue_acts,
+        "pra_features": q_pra_features,
+        "turn_retries": q_turn_retries,
         "verb_relations": q_verb_relations,
         "conv_features": q_conv_features,
         "curate": q_curate,
@@ -3266,6 +3279,38 @@ SELECT user_id, event_type, props, ts FROM (
                             ORDER BY ts DESC, props DESC) AS rk
   FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
 WHERE rk = 1""",
+        # PRA-style length-2 path-type features with the two_hop hub
+        # guard (kgpipe.kgtrain.pra_path_features)
+        "pra_features": f"""
+{_SQL_TRIPLES},
+e_p AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM tri),
+eu AS (SELECT DISTINCT subj, obj FROM e_p),
+okm AS (SELECT subj FROM eu GROUP BY subj HAVING count(*) <= 100000)
+SELECT e1.subj, e2.obj, e1.pred AS pred1, e2.pred AS pred2,
+       count(DISTINCT e1.obj)::bigint AS n_paths
+FROM e_p e1
+JOIN e_p e2 ON e1.obj = e2.subj
+JOIN okm ON e2.subj = okm.subj
+WHERE e2.obj <> e1.subj
+GROUP BY 1, 2, 3, 4""",
+        # same-role near-duplicate turn pairs (retry/loop detection;
+        # kgpipe.convops.turn_retries at 75%)
+        "turn_retries": """
+WITH ct AS (
+  SELECT source || '-' || (doc_id % 10)::varchar AS conv_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         (doc_id // 10)::int AS turn_idx,
+         list_distinct(string_split(lower(text), ' ')) AS toks
+  FROM documents)
+SELECT a.conv_id, a.role, a.turn_idx AS turn_a, b.turn_idx AS turn_b,
+       len(list_intersect(a.toks, b.toks))::int AS n_inter,
+       len(list_distinct(list_concat(a.toks, b.toks)))::int AS n_union
+FROM ct a JOIN ct b
+  ON a.conv_id = b.conv_id AND a.role = b.role
+ AND a.turn_idx < b.turn_idx
+WHERE len(list_intersect(a.toks, b.toks)) * 100
+      >= 75 * len(list_distinct(list_concat(a.toks, b.toks)))""",
         # TextTiling-style adjacent-turn lexical cohesion
         # (kgpipe.convops.topic_boundaries, threshold 25%)
         "topic_boundaries": """

@@ -162,3 +162,40 @@ def dialogue_acts(
     )
     return transcripts.select(
         "conv_id", "turn_idx", "role", act.alias("act"))
+
+
+def turn_retries(
+    transcripts: DataFrame, threshold_pct: int = 60
+) -> DataFrame:
+    """Stuck-agent / retry detection: pairs of SAME-ROLE turns in one
+    conversation whose distinct-token-set Jaccard overlap is at least
+    ``threshold_pct`` percent — the repeated-assistant-retry loop every
+    agent-log curation pass filters before KG construction:
+    ``(conv_id, role, turn_a, turn_b, n_inter, n_union)`` with
+    ``turn_a < turn_b`` and the threshold in exact integers
+    (``n_inter * 100 >= threshold_pct * n_union``).
+
+    One conv_id-keyed self-join: per-conversation cost is quadratic in
+    the conversation's OWN turn count (the bounded-skew shape every
+    operator in this module shares — mega-conversations are the fused
+    plan's ``max_turns_per_group`` case), never in the corpus.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    base = transcripts.select(
+        "conv_id", "role", F.col("turn_idx"), toks.alias("_toks"))
+    a = base.select("conv_id", "role",
+                    F.col("turn_idx").alias("turn_a"),
+                    F.col("_toks").alias("_ta"))
+    b = base.select("conv_id", "role",
+                    F.col("turn_idx").alias("turn_b"),
+                    F.col("_toks").alias("_tb"))
+    return (
+        a.join(b, ["conv_id", "role"])
+        .filter(F.col("turn_a") < F.col("turn_b"))
+        .withColumn("n_inter", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn("n_union", F.size(F.array_union("_ta", "_tb")))
+        .filter(F.col("n_inter") * 100
+                >= F.lit(int(threshold_pct)) * F.col("n_union"))
+        .select("conv_id", "role", "turn_a", "turn_b",
+                "n_inter", "n_union")
+    )

@@ -499,3 +499,47 @@ def biased_walks(
         state = nxt_state.localCheckpoint(eager=True)
         out = out.unionAll(state.select("start", "walk", "step", "node"))
     return out
+
+
+def pra_path_features(
+    triples: DataFrame,
+    max_mid_out: Optional[int] = 100_000,
+) -> DataFrame:
+    """Path-Ranking-Algorithm-style length-2 path features for KG
+    completion (Lao & Cohen, ML 2010): for every entity pair joined by
+    a 2-step predicate path, the path-type counts
+    ``(subj, obj, pred1, pred2, n_paths)`` — the feature table a
+    downstream ranker consumes (n_paths = number of distinct mid
+    entities realizing the (pred1, pred2) path).
+
+    Same hub-guarded 2-path join shape as ``graph.two_hop_reach``:
+    the mid-keyed self-join is the classic skew point, so mids with
+    out-degree > ``max_mid_out`` are dropped BEFORE the join (default
+    on — intermediate bounded by |E| * cap; ``None`` opts out).
+    Self-pairs (subj == obj) are excluded as in PRA.
+    """
+    e = triples.select("subj", "pred", "obj").distinct()
+    if max_mid_out is not None:
+        # mid fan-out counted on the UNLABELED distinct edge set (entity
+        # fan-out, not per-predicate), exactly like two_hop_reach's guard
+        ok_mids = (
+            e.select("subj", "obj").distinct()
+            .groupBy("subj").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") <= max_mid_out)
+            .select("subj")
+        )
+        right = e.join(ok_mids, "subj", "left_semi")
+    else:
+        right = e
+    return (
+        e.alias("e1")
+        .join(right.alias("e2"), F.col("e1.obj") == F.col("e2.subj"))
+        .filter(F.col("e2.obj") != F.col("e1.subj"))
+        .groupBy(
+            F.col("e1.subj").alias("subj"),
+            F.col("e2.obj").alias("obj"),
+            F.col("e1.pred").alias("pred1"),
+            F.col("e2.pred").alias("pred2"),
+        )
+        .agg(F.countDistinct(F.col("e1.obj")).alias("n_paths"))
+    )

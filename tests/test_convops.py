@@ -133,3 +133,17 @@ def test_dialogue_acts(spark):
     got = {r["turn_idx"]: r["act"] for r in dialogue_acts(t).collect()}
     assert got == {0: "question", 1: "command", 2: "statement",
                    3: "command"}
+
+
+def test_turn_retries(spark):
+    from kgpipe.convops import turn_retries
+
+    t = spark.createDataFrame(
+        [("c", 0, "assistant", "try the merge again now"),
+         ("c", 2, "assistant", "try the merge again now"),   # exact retry
+         ("c", 4, "assistant", "something completely different here"),
+         ("c", 1, "user", "try the merge again now")],       # other role
+        ["conv_id", "turn_idx", "role", "text"])
+    got = [(r["turn_a"], r["turn_b"], r["n_inter"], r["n_union"])
+           for r in turn_retries(t, threshold_pct=80).collect()]
+    assert got == [(0, 2, 5, 5)]  # only the same-role exact repeat

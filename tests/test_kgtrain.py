@@ -263,3 +263,23 @@ def test_biased_walks_validates_and_guards(spark):
     picked = {r["node"] for r in out.collect() if r["step"] == 1
               and r["start"] == "h"}
     assert picked <= {"n0", "n1", "n2"}
+
+
+def test_pra_path_features(spark):
+    from kgpipe.kgtrain import pra_path_features
+
+    t = spark.createDataFrame(
+        [("a", "p", "m1"), ("a", "p", "m2"), ("m1", "q", "b"),
+         ("m2", "q", "b"), ("m1", "r", "a"),  # closes back: excluded
+         ("a", "p", "m1")],                   # duplicate triple
+        ["subj", "pred", "obj"])
+    got = {(r["subj"], r["obj"], r["pred1"], r["pred2"]): r["n_paths"]
+           for r in pra_path_features(t).collect()}
+    # a -p-> {m1,m2} -q-> b : one (p,q) feature with 2 distinct mids
+    assert got[("a", "b", "p", "q")] == 2
+    assert ("a", "a", "p", "r") not in got  # self-pair excluded
+    # hub guard at cap 1: m1 (unlabeled fan-out 2: b, a) is dropped as a
+    # mid; m2 (fan-out 1) survives, leaving one path a->m2->b
+    capped = {(r["subj"], r["obj"], r["pred1"], r["pred2"]): r["n_paths"]
+              for r in pra_path_features(t, max_mid_out=1).collect()}
+    assert capped == {("a", "b", "p", "q"): 1}
