@@ -1400,6 +1400,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return characteristic_sets(_triples(spark, sf_dir))
 
+    def q_coherence_disambig(spark, sf_dir):
+        from kgpipe.disambig import coherence_disambig
+        from kgpipe.triples import cooccurrence_stats
+
+        m = _mentions(spark, sf_dir).select(
+            "conv_id", "turn_idx", "begin", "end", "concept_id")
+        # synthesize ambiguity: every T:0001 ('spark') span also
+        # nominates T:0003 as a candidate (shared-synonym shape)
+        cand = m.unionByName(
+            m.filter(F.col("concept_id") == "T:0001")
+            .withColumn("concept_id", F.lit("T:0003")))
+        cooc = cooccurrence_stats(m, window=3).select(
+            "ca", "cb", "n_pair")
+        return coherence_disambig(cand, cooc)
+
     def q_pra_features(spark, sf_dir):
         from kgpipe.kgtrain import pra_path_features
 
@@ -2174,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialogue_acts": q_dialogue_acts,
         "pra_features": q_pra_features,
         "turn_retries": q_turn_retries,
+        "coherence_disambig": q_coherence_disambig,
         "verb_relations": q_verb_relations,
         "conv_features": q_conv_features,
         "curate": q_curate,
@@ -3278,6 +3294,63 @@ SELECT user_id, event_type, props, ts FROM (
          row_number() OVER (PARTITION BY user_id, event_type
                             ORDER BY ts DESC, props DESC) AS rk
   FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+WHERE rk = 1""",
+        # coherence voting over conversation anchor concepts
+        # (kgpipe.disambig.coherence_disambig; T:0001 spans get a
+        # synthetic T:0003 co-candidate)
+        "coherence_disambig": f"""
+WITH {_SQL_MENTIONS.lstrip()},
+m AS (SELECT DISTINCT conv_id, turn_idx, begin, "end", concept_id
+      FROM mentions),
+cand AS (
+  SELECT * FROM m
+  UNION
+  SELECT conv_id, turn_idx, begin, "end", 'T:0003' AS concept_id
+  FROM m WHERE concept_id = 'T:0001'),
+nc AS (SELECT conv_id, turn_idx, begin, "end", count(*) AS n
+       FROM cand GROUP BY 1, 2, 3, 4),
+unamb AS (
+  SELECT c.* FROM cand c JOIN nc
+    ON c.conv_id = nc.conv_id AND c.turn_idx = nc.turn_idx
+   AND c.begin = nc.begin AND c."end" = nc."end"
+  WHERE nc.n = 1),
+amb AS (
+  SELECT c.* FROM cand c JOIN nc
+    ON c.conv_id = nc.conv_id AND c.turn_idx = nc.turn_idx
+   AND c.begin = nc.begin AND c."end" = nc."end"
+  WHERE nc.n > 1),
+anchors AS (SELECT DISTINCT conv_id, concept_id AS anchor FROM unamb),
+cpair AS (
+  SELECT a.concept_id AS ca, b.concept_id AS cb, count(*) AS n_pair
+  FROM m a JOIN m b
+    ON a.conv_id = b.conv_id AND abs(a.turn_idx - b.turn_idx) <= 3
+   AND a.concept_id < b.concept_id
+  GROUP BY 1, 2),
+sc AS (
+  SELECT p.conv_id, p.turn_idx, p.begin, p."end", p.concept_id,
+         sum(coalesce(pr.n_pair, 0))::bigint AS score
+  FROM (SELECT a.*, an.anchor FROM amb a JOIN anchors an
+          ON an.conv_id = a.conv_id AND an.anchor <> a.concept_id) p
+  LEFT JOIN cpair pr
+    ON pr.ca = least(p.concept_id, p.anchor)
+   AND pr.cb = greatest(p.concept_id, p.anchor)
+  GROUP BY 1, 2, 3, 4, 5),
+scf AS (
+  SELECT a.conv_id, a.turn_idx, a.begin, a."end", a.concept_id,
+         coalesce(sc.score, 0) AS score
+  FROM amb a LEFT JOIN sc
+    ON a.conv_id = sc.conv_id AND a.turn_idx = sc.turn_idx
+   AND a.begin = sc.begin AND a."end" = sc."end"
+   AND a.concept_id = sc.concept_id)
+SELECT conv_id, turn_idx, begin, "end", concept_id,
+       NULL::bigint AS score
+FROM unamb
+UNION ALL
+SELECT conv_id, turn_idx, begin, "end", concept_id, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx, begin, "end"
+    ORDER BY score DESC, concept_id ASC) AS rk
+  FROM scf)
 WHERE rk = 1""",
         # PRA-style length-2 path-type features with the two_hop hub
         # guard (kgpipe.kgtrain.pra_path_features)

@@ -328,3 +328,67 @@ def tfidf_disambiguate(mentions: DataFrame, exact: bool = False) -> DataFrame:
         .filter(F.col("__rank") == 1)
         .drop("__rank", "__tf", "__df", "__n", "__tfidf")
     )
+
+
+def coherence_disambig(
+    candidates: DataFrame,
+    cooc: DataFrame,
+    concept_col: str = "concept_id",
+) -> DataFrame:
+    """Coherence-based candidate disambiguation — the third leg of the
+    disambiguation family (frequency ``mayla_filter``, corpus-support
+    ``tfidf_disambiguate``, and this: global-coherence voting a la
+    collective entity linking): for every AMBIGUOUS span (a
+    (conv_id, turn_idx, begin, end) key carrying >1 candidate concept),
+    keep the candidate with the strongest co-occurrence support against
+    the conversation's unambiguous ANCHOR concepts, scored as
+    ``sum(n_pair)`` over corpus-level co-occurrence counts
+    (``kgpipe.triples.cooccurrence_stats`` shape: (ca, cb, n_pair),
+    ca < cb).  Ties break to the ascending concept id; spans in
+    conversations with no anchors score 0 and resolve by the same
+    tie-break.  Unambiguous spans pass through with NULL score.
+
+    Plan: anchor set = one distinct per conversation (vocabulary-sized
+    per conv); the candidate x anchor join is conv-keyed with per-conv
+    cost |candidates| x |anchor vocab| — never corpus-quadratic; the
+    cooc lookup is an equi-join on the normalized (least, greatest)
+    pair key against a vocabulary²-bounded table (broadcast-sized in
+    practice).  All scores are exact integers.
+    """
+    span = ["conv_id", "turn_idx", "begin", "end"]
+    cand = candidates.select(*span, concept_col).distinct()
+    w = Window.partitionBy(*span)
+    cand = cand.withColumn("_nc", F.count(F.lit(1)).over(w))
+    unamb = cand.filter(F.col("_nc") == 1).drop("_nc")
+    amb = cand.filter(F.col("_nc") > 1).drop("_nc")
+    anchors = unamb.select(
+        "conv_id", F.col(concept_col).alias("_anchor")).distinct()
+    paired = (
+        amb.join(anchors, "conv_id")
+        .filter(F.col("_anchor") != F.col(concept_col))
+        .withColumn("_ka", F.least(concept_col, "_anchor"))
+        .withColumn("_kb", F.greatest(concept_col, "_anchor"))
+    )
+    cooc_n = cooc.select("ca", "cb", "n_pair")
+    scored = (
+        paired.join(
+            cooc_n,
+            (F.col("_ka") == F.col("ca")) & (F.col("_kb") == F.col("cb")),
+            "left")
+        .groupBy(*span, concept_col)
+        .agg(F.sum(F.coalesce(F.col("n_pair"), F.lit(0)))
+             .cast("long").alias("score"))
+    )
+    all_amb = (
+        amb.join(scored, span + [concept_col], "left")
+        .fillna(0, subset=["score"])
+    )
+    wr = Window.partitionBy(*span).orderBy(
+        F.desc("score"), F.asc(concept_col))
+    winners = (
+        all_amb.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return unamb.withColumn(
+        "score", F.lit(None).cast("long")).unionByName(winners)

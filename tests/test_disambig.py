@@ -168,3 +168,25 @@ def test_mayla_per_namespace_thresholds(spark):
              mayla_filter(mentions, tdf, ddf, concept_freq={"A": 2, "B": 3},
                           default_freq=5).collect()}
     assert kept2 == {"A:1", "B:2"}
+
+
+def test_coherence_disambig(spark):
+    from kgpipe.disambig import coherence_disambig
+
+    # span (c1, 0, 0, 5) is ambiguous {A, B}; anchors in c1: {X, Y}
+    cand = spark.createDataFrame(
+        [("c1", 0, 0, 5, "A"), ("c1", 0, 0, 5, "B"),
+         ("c1", 1, 0, 3, "X"), ("c1", 2, 0, 3, "Y"),
+         # conv with an ambiguous span but NO anchors: tie-break wins
+         ("c2", 0, 0, 5, "A"), ("c2", 0, 0, 5, "B")],
+        ["conv_id", "turn_idx", "begin", "end", "concept_id"])
+    cooc = spark.createDataFrame(
+        [("A", "X", 1), ("B", "X", 4), ("B", "Y", 2)],
+        ["ca", "cb", "n_pair"])
+    got = {(r["conv_id"], r["turn_idx"], r["begin"]):
+           (r["concept_id"], r["score"])
+           for r in coherence_disambig(cand, cooc).collect()}
+    # B scores 4+2=6 > A's 1+0; c2 has no anchors -> score 0, 'A' wins
+    assert got[("c1", 0, 0)] == ("B", 6)
+    assert got[("c2", 0, 0)] == ("A", 0)
+    assert got[("c1", 1, 0)] == ("X", None)  # unambiguous passthrough
