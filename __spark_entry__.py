@@ -1590,6 +1590,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new = t.filter((F.col("turn_idx") >= 5) | F.col("turn_idx").isNull())
         return snapshot_diff(old, new)
 
+    def q_diff_summary(spark, sf_dir):
+        from kgpipe.triples import snapshot_diff_summary
+
+        t = _triples(spark, sf_dir)
+        old = t.filter((F.col("turn_idx") <= 15) | F.col("turn_idx").isNull())
+        new = t.filter((F.col("turn_idx") >= 5) | F.col("turn_idx").isNull())
+        return snapshot_diff_summary(old, new)
+
+    def q_hub_report(spark, sf_dir):
+        from kgpipe.graph import hub_guard_report
+
+        return hub_guard_report(_triples(spark, sf_dir), max_mid_out=50)
+
     def q_k_core(spark, sf_dir):
         from kgpipe.graph import k_core
 
@@ -2171,6 +2184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cross": q_minhash_cross,
         "label_match": q_label_match,
         "snapshot_diff": q_snapshot_diff,
+        "diff_summary": q_diff_summary,
+        "hub_report": q_hub_report,
         "neg_samples": q_neg_samples,
         "kg_split": q_kg_split,
         "kg_walks": q_kg_walks,
@@ -3572,6 +3587,34 @@ FROM (SELECT * FROM n EXCEPT SELECT * FROM o)
 UNION ALL
 SELECT subj, pred, obj, 'removed' AS status
 FROM (SELECT * FROM o EXCEPT SELECT * FROM n)""",
+        # per-predicate rollup of the same diff
+        # (kgpipe.triples.snapshot_diff_summary)
+        "diff_summary": f"""
+{_SQL_TRIPLES},
+o AS (SELECT DISTINCT subj, pred, obj FROM tri
+      WHERE turn_idx <= 15 OR turn_idx IS NULL),
+n AS (SELECT DISTINCT subj, pred, obj FROM tri
+      WHERE turn_idx >= 5 OR turn_idx IS NULL),
+d AS (
+  SELECT subj, pred, obj, 'added' AS status
+  FROM (SELECT * FROM n EXCEPT SELECT * FROM o)
+  UNION ALL
+  SELECT subj, pred, obj, 'removed' AS status
+  FROM (SELECT * FROM o EXCEPT SELECT * FROM n))
+SELECT pred, status, count(*)::bigint AS n_triples,
+       count(DISTINCT subj)::bigint AS n_subjects
+FROM d GROUP BY pred, status""",
+        # hub-guard drop accounting at a cap that actually bites
+        # (kgpipe.graph.hub_guard_report, max_mid_out=50)
+        "hub_report": f"""
+{_SQL_TRIPLES},
+e_h AS (SELECT DISTINCT subj, obj FROM tri),
+dh AS (SELECT subj, count(*) AS d FROM e_h GROUP BY subj)
+SELECT sum(CASE WHEN d > 50 THEN 1 ELSE 0 END)::bigint
+         AS n_dropped_mids,
+       count(*)::bigint AS n_mids,
+       max(d)::bigint AS max_out_deg
+FROM dh""",
         "functional_violations": f"""
 {_SQL_TRIPLES}
 SELECT pred, subj, count(DISTINCT obj) AS n_obj

@@ -567,3 +567,23 @@ def verb_relations(
     return rel.select(
         "subj_concept", "verb", "obj_concept", "conv_id", "turn_idx"
     ).distinct()
+
+
+def snapshot_diff_summary(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-predicate rollup of ``snapshot_diff`` — the release-note /
+    drift-alarm view of a KG rebuild: ``(pred, status, n_triples,
+    n_subjects)`` for each (predicate, added|removed) bucket.  A
+    predicate suddenly dominating 'removed' is the cheapest possible
+    regression alarm before the snapshot pointer flips.
+
+    One extra key-width aggregation over the diff (which is itself one
+    hash pass per side); output is vocabulary-sized.
+    """
+    return (
+        snapshot_diff(old, new)
+        .groupBy("pred", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subjects"),
+        )
+    )

@@ -275,3 +275,18 @@ def test_verb_relations(spark):
     # turn 2: no trigger verb between the mentions
     assert rels == {("T:SPARK", "joins", "T:WINDOW", 0),
                     ("T:WINDOW", "precedes", "T:SPARK", 1)}
+
+
+def test_snapshot_diff_summary(spark):
+    from kgpipe.triples import snapshot_diff_summary
+
+    old = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y"), ("c", "q", "z")],
+        ["subj", "pred", "obj"])
+    new = spark.createDataFrame(
+        [("a", "p", "x"), ("d", "p", "w"), ("e", "p", "v")],
+        ["subj", "pred", "obj"])
+    got = {(r["pred"], r["status"]): (r["n_triples"], r["n_subjects"])
+           for r in snapshot_diff_summary(old, new).collect()}
+    assert got == {("p", "added"): (2, 2), ("p", "removed"): (1, 1),
+                   ("q", "removed"): (1, 1)}
