@@ -1590,6 +1590,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new = t.filter((F.col("turn_idx") >= 5) | F.col("turn_idx").isNull())
         return snapshot_diff(old, new)
 
+    def q_kg_stats(spark, sf_dir):
+        from kgpipe.quality import kg_stats_report
+
+        return kg_stats_report(_triples(spark, sf_dir))
+
     def q_diff_summary(spark, sf_dir):
         from kgpipe.triples import snapshot_diff_summary
 
@@ -2186,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "diff_summary": q_diff_summary,
         "hub_report": q_hub_report,
+        "kg_stats": q_kg_stats,
         "neg_samples": q_neg_samples,
         "kg_split": q_kg_split,
         "kg_walks": q_kg_walks,
@@ -3604,6 +3610,17 @@ d AS (
 SELECT pred, status, count(*)::bigint AS n_triples,
        count(DISTINCT subj)::bigint AS n_subjects
 FROM d GROUP BY pred, status""",
+        # one-row KG build dashboard (kgpipe.quality.kg_stats_report)
+        "kg_stats": f"""
+{_SQL_TRIPLES}
+SELECT count(*)::bigint AS n_rows,
+       count(DISTINCT (subj, pred, obj))::bigint AS n_triples,
+       (SELECT count(DISTINCT e)::bigint FROM (
+          SELECT subj AS e FROM tri UNION ALL SELECT obj FROM tri))
+         AS n_entities,
+       count(DISTINCT pred)::bigint AS n_preds,
+       count(DISTINCT conv_id)::bigint AS n_convs
+FROM tri""",
         # hub-guard drop accounting at a cap that actually bites
         # (kgpipe.graph.hub_guard_report, max_mid_out=50)
         "hub_report": f"""

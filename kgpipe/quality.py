@@ -241,3 +241,38 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_subjects"),
         F.sum("n").cast("long").alias("n_triples"),
     )
+
+
+def kg_stats_report(triples: DataFrame) -> DataFrame:
+    """One-row corpus dashboard for a KG build — the numbers a nightly
+    job logs next to the snapshot pointer: ``(n_rows, n_triples,
+    n_entities, n_preds, n_convs)`` = multiset row count, distinct
+    triple count, distinct entity count (subjects ∪ objects), predicate
+    vocabulary size, and witnessing-conversation count (NULL conv_ids
+    ignored, matching SQL count-distinct).
+
+    Two aggregation jobs joined on their single output rows: the main
+    pass uses Spark's expand for its distinct counts, the entity count
+    explodes (subj, obj) and distinct-counts the union — every step is
+    a distributed partial aggregate (no collect_set of the vocabulary
+    into one buffer).  At 10^12 rows swap exact distincts for
+    approx_count_distinct with the same plan shape (documented trade;
+    the exact version is what the oracle hashes).
+    """
+    base = triples.select(
+        "subj", "pred", "obj",
+        (F.col("conv_id") if "conv_id" in triples.columns
+         else F.lit(None).cast("string")).alias("conv_id"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("subj", "pred", "obj").cast("long")
+        .alias("n_triples"),
+        F.countDistinct("pred").cast("long").alias("n_preds"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+    ents = base.select(
+        F.explode(F.array("subj", "obj")).alias("_e")
+    ).agg(F.countDistinct("_e").cast("long").alias("n_entities"))
+    return stats.crossJoin(ents).select(
+        "n_rows", "n_triples", "n_entities", "n_preds", "n_convs")

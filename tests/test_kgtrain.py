@@ -283,3 +283,24 @@ def test_pra_path_features(spark):
     capped = {(r["subj"], r["obj"], r["pred1"], r["pred2"]): r["n_paths"]
               for r in pra_path_features(t, max_mid_out=1).collect()}
     assert capped == {("a", "b", "p", "q"): 1}
+
+
+def test_pra_path_features_brute_parity(spark):
+    from collections import Counter
+
+    from kgpipe.kgtrain import pra_path_features
+
+    rows = [(f"n{(3 * i) % 11}", f"p{i % 3}", f"n{(5 * i + 1) % 11}")
+            for i in range(40)]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {(r["subj"], r["obj"], r["pred1"], r["pred2"]): r["n_paths"]
+           for r in pra_path_features(t, max_mid_out=None).collect()}
+
+    e = sorted(set(rows))
+    expect = {}
+    for s1, p1, o1 in e:
+        for s2, p2, o2 in e:
+            if o1 == s2 and o2 != s1:
+                expect.setdefault((s1, o2, p1, p2), set()).add(o1)
+    expect = {k: len(v) for k, v in expect.items()}
+    assert got == expect

@@ -116,3 +116,18 @@ def test_characteristic_sets(spark):
     got = {r["pred_set"]: (r["n_subjects"], r["n_triples"])
            for r in characteristic_sets(t).collect()}
     assert got == {"p,q": (2, 5), "p": (1, 1)}
+
+
+def test_kg_stats_report(spark):
+    from kgpipe.quality import kg_stats_report
+
+    t = spark.createDataFrame(
+        [("a", "p", "b", "c1"), ("a", "p", "b", "c2"),  # dup triple
+         ("b", "q", "c", "c1"), ("d", "p", "a", None)],
+        ["subj", "pred", "obj", "conv_id"])
+    r = kg_stats_report(t).collect()[0]
+    assert (r["n_rows"], r["n_triples"], r["n_entities"],
+            r["n_preds"], r["n_convs"]) == (4, 3, 4, 2, 2)
+    # without a conv_id column: n_convs = 0
+    r2 = kg_stats_report(t.drop("conv_id")).collect()[0]
+    assert (r2["n_rows"], r2["n_convs"]) == (4, 0)
