@@ -817,6 +817,37 @@ r{t} AS MATERIALIZED (
             + f"\nSELECT id AS entity, round(r, 6) AS rank FROM r{iters}")
 
 
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled L1-normalized HITS mirroring kgpipe.graph.hits — per
+    round one authority half-step then one hub half-step, each divided
+    by its in-plan sum (the pagerank-oracle float precedent: 1e-6
+    rounding on both engines).  MATERIALIZED for the same
+    exponential-re-expansion reason as _pagerank_sql; h0 is cast to
+    DOUBLE so DuckDB never routes the chain through exact DECIMAL
+    arithmetic that Spark's doubles wouldn't reproduce."""
+    parts = ["""edges AS MATERIALIZED (SELECT DISTINCT subj, obj FROM tri),
+nodes AS MATERIALIZED (
+  SELECT subj AS id FROM edges UNION SELECT obj AS id FROM edges),
+h0 AS MATERIALIZED (SELECT id, 1.0::double AS s FROM nodes)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""ar{t} AS MATERIALIZED (
+  SELECT e.obj AS id, sum(h.s) AS c
+  FROM edges e JOIN h{t - 1} h ON e.subj = h.id GROUP BY e.obj),
+at{t} AS MATERIALIZED (
+  SELECT n.id, coalesce(c.c, 0) / (SELECT sum(c) FROM ar{t}) AS s
+  FROM nodes n LEFT JOIN ar{t} c ON n.id = c.id),
+hr{t} AS MATERIALIZED (
+  SELECT e.subj AS id, sum(a.s) AS c
+  FROM edges e JOIN at{t} a ON e.obj = a.id GROUP BY e.subj),
+h{t} AS MATERIALIZED (
+  SELECT n.id, coalesce(c.c, 0) / (SELECT sum(c) FROM hr{t}) AS s
+  FROM nodes n LEFT JOIN hr{t} c ON n.id = c.id)""")
+    return (f"{_SQL_TRIPLES},\n" + ",\n".join(parts) + f"""
+SELECT h.id AS entity, round(h.s, 6) AS hub,
+       round(a.s, 6) AS authority
+FROM h{iters} h JOIN at{iters} a ON h.id = a.id""")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2127,7 +2158,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/out").select(
             "conv_id", "ta", "tb", "ca", "cb")
 
+    def q_link_features(spark, sf_dir):
+        from kgpipe.graph import link_features
+
+        return link_features(_triples(spark, sf_dir))
+
+    def q_hits(spark, sf_dir):
+        from kgpipe.graph import hits
+
+        h = hits(_triples(spark, sf_dir), iters=3)
+        return h.select(
+            "entity",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+
+    def q_conv_keywords(spark, sf_dir):
+        from kgpipe.convops import conv_keywords
+
+        return conv_keywords(_transcripts(spark, sf_dir), k=5, min_len=4)
+
+    def q_qa_pairs(spark, sf_dir):
+        from kgpipe.convops import qa_pairs
+
+        # word-salad corpus has no '?': same deterministic injection as
+        # dialogue_acts (every 7th turn), over the unique-turn-key
+        # transcripts variant so q/a turn identity is well-defined
+        t = _conv_transcripts(spark, sf_dir)
+        tmod = t.withColumn(
+            "text",
+            F.when(F.col("turn_idx") % 7 == 0,
+                   F.concat(F.col("text"), F.lit("?")))
+            .otherwise(F.col("text")))
+        return qa_pairs(tmod, max_gap=3)
+
+    def q_anaphora(spark, sf_dir):
+        from kgpipe.triples import anaphora_links
+
+        t = _transcripts(spark, sf_dir)
+        # no pronouns in the synthetic vocabulary: inject a deterministic
+        # 'it ' prefix on every 4th turn (the negated_mentions pattern);
+        # antecedent mentions come from the UNMODIFIED shared mention set
+        tmod = t.withColumn(
+            "text",
+            F.when(F.col("turn_idx") % 4 == 1,
+                   F.concat(F.lit("it "), F.col("text")))
+            .otherwise(F.col("text")))
+        return anaphora_links(_mentions(spark, sf_dir), tmod, lookback=3)
+
     return {
+        "link_features": q_link_features,
+        "hits": q_hits,
+        "conv_keywords": q_conv_keywords,
+        "qa_pairs": q_qa_pairs,
+        "anaphora": q_anaphora,
         "mention_detect": q_mention_detect,
         # registered early on purpose: these two were absent from the
         # round-2 driver artifact (sweep stopped at 50 entries), so they
@@ -3443,6 +3527,82 @@ SELECT conv_id, turn_idx, role,
                   'update','set') THEN 'command'
             ELSE 'statement' END AS act
 FROM t""",
+        # common-neighbor / Jaccard link-prediction features over the
+        # undirected simple entity graph (kgpipe.graph.link_features;
+        # default center cap 10k, existing edges anti-joined away)
+        "link_features": f"""
+{_SQL_TRIPLES},{_SQL_UND},
+lf_deg AS MATERIALIZED (SELECT a, count(*) AS d FROM und GROUP BY a),
+lf_ctr AS (
+  SELECT u.a AS n, u.b AS x FROM und u JOIN lf_deg d ON u.a = d.a
+  WHERE d.d <= 10000),
+lf_cn AS (
+  SELECT l.x AS a, r.x AS b, count(*)::bigint AS n_common
+  FROM lf_ctr l JOIN lf_ctr r ON l.n = r.n AND l.x < r.x
+  GROUP BY l.x, r.x)
+SELECT c.a, c.b, c.n_common, da.d::bigint AS deg_a, db.d::bigint AS deg_b,
+       (da.d + db.d - c.n_common)::bigint AS n_union
+FROM lf_cn c JOIN lf_deg da ON c.a = da.a JOIN lf_deg db ON c.b = db.a
+WHERE NOT EXISTS (SELECT 1 FROM und w WHERE w.a = c.a AND w.b = c.b)""",
+        # HITS hubs/authorities, 3 L1-normalized rounds, 1e-6-rounded
+        # (kgpipe.graph.hits; pagerank oracle precedent for floats)
+        "hits": _hits_sql(iters=3),
+        # per-conversation top-5 salient tokens, min length 4, ties by
+        # token ascending (kgpipe.convops.conv_keywords)
+        "conv_keywords": f"""
+WITH {_SQL_TRANSCRIPTS.lstrip()},
+kw_tok AS (
+  SELECT conv_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM transcripts),
+kw_cnt AS (
+  SELECT conv_id, token, count(*)::bigint AS n FROM kw_tok
+  WHERE length(token) >= 4 GROUP BY conv_id, token),
+kw_rk AS (
+  SELECT conv_id, token, n,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY n DESC, token ASC) AS "rank"
+  FROM kw_cnt)
+SELECT conv_id, token, n, "rank"::int AS "rank"
+FROM kw_rk WHERE "rank" <= 5""",
+        # question -> first different-role answer within 3 turns
+        # (kgpipe.convops.qa_pairs over the unique-turn-key transcripts
+        # with the dialogue_acts '?' injection on 7th turns)
+        "qa_pairs": """
+WITH ct AS (
+  SELECT source || '-' || (doc_id % 10)::varchar AS conv_id,
+         (doc_id // 10)::int AS turn_idx,
+         CASE (doc_id % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         CASE WHEN (doc_id // 10) % 7 = 0 THEN text || '?'
+              ELSE text END AS text
+  FROM documents),
+q AS (SELECT conv_id, turn_idx AS q_turn, role AS q_role FROM ct
+      WHERE trim(text) LIKE '%?'),
+cand AS (
+  SELECT q.conv_id, q.q_turn, q.q_role, a.turn_idx AS a_turn,
+         a.role AS a_role,
+         row_number() OVER (PARTITION BY q.conv_id, q.q_turn, q.q_role
+                            ORDER BY a.turn_idx ASC, a.role ASC) AS rn
+  FROM q JOIN ct a ON q.conv_id = a.conv_id
+   AND a.turn_idx > q.q_turn AND a.turn_idx <= q.q_turn + 3
+   AND a.role <> q.q_role)
+SELECT conv_id, q_turn, q_role, a_turn, a_role FROM cand WHERE rn = 1""",
+        # anaphora-lite: pronoun turns ('it ' injected on turn %% 4 == 1)
+        # -> most recent mention within 3 prior turns, tie-break latest
+        # begin then lowest concept (kgpipe.triples.anaphora_links)
+        "anaphora": f"""WITH {_SQL_MENTIONS.lstrip()},
+pron AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts
+         WHERE turn_idx % 4 = 1),
+anc AS (
+  SELECT p.conv_id, p.turn_idx, m.turn_idx AS antecedent_turn,
+         m.concept_id,
+         row_number() OVER (PARTITION BY p.conv_id, p.turn_idx
+            ORDER BY m.turn_idx DESC, m.begin DESC, m.concept_id ASC)
+           AS rn
+  FROM pron p JOIN mentions m ON p.conv_id = m.conv_id
+   AND m.turn_idx >= p.turn_idx - 3 AND m.turn_idx <= p.turn_idx - 1)
+SELECT conv_id, turn_idx, antecedent_turn, concept_id
+FROM anc WHERE rn = 1""",
         # ancestor-closure expansion of detected mentions
         # (kgpipe.infer.expand_ancestors over the TECH_ISA DAG)
         "mention_ancestors": f"""WITH RECURSIVE {_SQL_MENTIONS.lstrip()},

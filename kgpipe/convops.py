@@ -199,3 +199,72 @@ def turn_retries(
         .select("conv_id", "role", "turn_a", "turn_b",
                 "n_inter", "n_union")
     )
+
+
+def conv_keywords(
+    transcripts: DataFrame, k: int = 5, min_len: int = 4
+) -> DataFrame:
+    """Per-conversation salient terms: the top-``k`` tokens by
+    within-conversation frequency — ``(conv_id, token, n, rank)`` with
+    tokens shorter than ``min_len`` characters dropped (the cheap
+    stopword proxy for the reference's PubMed stopword list, which
+    kgpipe.disambig applies where real IDF is wanted) and ties broken
+    by token ascending so the cut is deterministic.
+
+    One (conv_id, token) partial-aggregated exchange + one conv_id
+    window for the rank — the token explode never shuffles raw text,
+    only (conv_id, token) pairs, and the window input is the
+    aggregate (distinct tokens per conversation), not the corpus.
+    """
+    tok = F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    counts = (
+        transcripts.select("conv_id", tok)
+        .filter(F.length("token") >= int(min_len))
+        .groupBy("conv_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
+def qa_pairs(transcripts: DataFrame, max_gap: int = 3) -> DataFrame:
+    """Question->answer turn linking: for every question turn (trimmed
+    text ends with ``?`` — the ``dialogue_acts`` question rule), the
+    FIRST subsequent turn by a DIFFERENT role within ``max_gap`` turns,
+    as ``(conv_id, q_turn, q_role, a_turn, a_role)``.  The structural
+    edge a transcript KG wants alongside isPartOf/hasRole: who answered
+    whom (unanswered questions simply emit no row).
+
+    One conv_id-keyed equi-join with the candidate side bounded to
+    ``max_gap`` rows per question by the range filter, then a
+    row_number window picking the earliest answer — per-conversation
+    cost is O(turns * max_gap), never quadratic in conversation length.
+    """
+    is_q = F.trim(F.col("text")).endswith("?")
+    q = transcripts.filter(is_q).select(
+        "conv_id",
+        F.col("turn_idx").alias("q_turn"),
+        F.col("role").alias("q_role"),
+    )
+    a = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").alias("a_turn"),
+        F.col("role").alias("a_role"),
+    )
+    w = Window.partitionBy("conv_id", "q_turn", "q_role").orderBy(
+        F.asc("a_turn"), F.asc("a_role"))
+    return (
+        q.join(a, "conv_id")
+        .filter(
+            (F.col("a_turn") > F.col("q_turn"))
+            & (F.col("a_turn") <= F.col("q_turn") + int(max_gap))
+            & (F.col("a_role") != F.col("q_role"))
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "q_turn", "q_role", "a_turn", "a_role")
+    )

@@ -604,3 +604,128 @@ def degree_histogram(triples: DataFrame) -> DataFrame:
             F.max("d").cast("long").alias("max_degree"),
         )
     )
+
+
+def link_features(
+    triples: DataFrame,
+    max_center_degree: Optional[int] = 10_000,
+    include_existing: bool = False,
+) -> DataFrame:
+    """Common-neighbor / Jaccard link-prediction features (Liben-Nowell
+    & Kleinberg, CIKM 2003) over the undirected simple entity graph:
+    ``(a, b, n_common, deg_a, deg_b, n_union)`` for every unordered
+    candidate pair ``a < b`` sharing >= 1 neighbor, with
+    ``n_union = deg_a + deg_b - n_common`` (= |N(a) U N(b)|).  The
+    output stays exact-integer so it is oracle-hashable; the Jaccard /
+    common-neighbor scores are one caller-side division away (same
+    integer-output policy as lp_metrics / local_clustering).
+
+    ``include_existing=False`` (default — the link-PREDICTION setting)
+    anti-joins currently-adjacent pairs away, leaving only proposals;
+    ``True`` keeps them (the similarity-scoring setting).
+
+    Plan: one wedge self-join keyed on the shared CENTER node + one
+    (a, b) count aggregate + one two-sided degree attach (degree table
+    is node-count-sized; AQE broadcasts it).  A center of degree d
+    emits d*(d-1)/2 candidate pairs, so mega-hub centers are the skew
+    risk — ``max_center_degree`` (default 10k, same default-on hub
+    policy as two_hop_reach / ego_network) drops wedge centers above
+    the cap.  The recall cost is only pairs whose EVERY shared
+    neighbor is a mega-hub — the least informative common-neighbor
+    evidence (Adamic-Adar downweights exactly these).  Opt out with
+    ``None``.
+    """
+    und = _und_edges(triples)
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    deg = deg.localCheckpoint(eager=True)
+    nbrs = und.select(F.col("a").alias("n"), F.col("b").alias("x"))
+    if max_center_degree is not None:
+        ok = deg.filter(F.col("d") <= int(max_center_degree)).select(
+            F.col("a").alias("n"))
+        nbrs = nbrs.join(ok, "n")
+    left = nbrs.select("n", F.col("x").alias("pa"))
+    right = nbrs.select("n", F.col("x").alias("pb"))
+    cn = (
+        left.join(right, "n")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    if not include_existing:
+        cn = cn.join(und, ["a", "b"], "left_anti")
+    da = deg.select(F.col("a"), F.col("d").cast("long").alias("deg_a"))
+    db = deg.select(F.col("a").alias("b"),
+                    F.col("d").cast("long").alias("deg_b"))
+    return (
+        cn.join(da, "a").join(db, "b")
+        .select(
+            "a", "b", "n_common", "deg_a", "deg_b",
+            (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            .alias("n_union"),
+        )
+    )
+
+
+def hits(triples: DataFrame, iters: int = 5) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) over the
+    distinct directed entity graph: ``(entity, hub, authority)`` after
+    ``iters`` mutual-reinforcement rounds, each half-step L1-normalized
+    (scores sum to 1 — the sum-normalized variant; L2 differs only by
+    a per-round scalar and needs a sqrt the SQL mirror would have to
+    replicate bit-for-bit, so L1 is the deterministic choice).
+
+    Same iterative shape as ``pagerank``: per round, ONE edge join +
+    aggregate per half-step, with the normalization scalar kept
+    IN-PLAN as a broadcast 1-row aggregate (no driver round-trip), and
+    each score frame localCheckpointed so plan depth stays O(1) across
+    rounds.  Float-valued; the oracle row hashes 1e-6-rounded scores
+    against unrolled MATERIALIZED-CTE SQL (the pagerank precedent).
+    """
+    e = _edges(triples)
+    nodes = (
+        e.select(F.col("subj").alias("id"))
+        .unionAll(e.select(F.col("obj").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("id", F.lit(1.0).alias("s"))
+    auth = None
+    for _ in range(iters):
+        # authority(v) = sum of hub over in-neighbors, then L1-normalize
+        araw = (
+            e.join(hub, e["subj"] == hub["id"])
+            .groupBy(F.col("obj").alias("id"))
+            .agg(F.sum("s").alias("c"))
+        )
+        atot = araw.agg(F.sum("c").alias("_t"))
+        auth = (
+            nodes.join(araw, "id", "left")
+            .join(F.broadcast(atot))
+            .select(
+                "id",
+                (F.coalesce("c", F.lit(0.0)) / F.col("_t")).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # hub(u) = sum of authority over out-neighbors, L1-normalized
+        hraw = (
+            e.join(auth, e["obj"] == auth["id"])
+            .groupBy(F.col("subj").alias("id"))
+            .agg(F.sum("s").alias("c"))
+        )
+        htot = hraw.agg(F.sum("c").alias("_t"))
+        hub = (
+            nodes.join(hraw, "id", "left")
+            .join(F.broadcast(htot))
+            .select(
+                "id",
+                (F.coalesce("c", F.lit(0.0)) / F.col("_t")).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hub.select(F.col("id"), F.col("s").alias("hub"))
+        .join(auth.select(F.col("id"), F.col("s").alias("authority")),
+              "id")
+        .withColumnRenamed("id", "entity")
+    )

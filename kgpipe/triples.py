@@ -587,3 +587,63 @@ def snapshot_diff_summary(old: DataFrame, new: DataFrame) -> DataFrame:
             F.countDistinct("subj").cast("long").alias("n_subjects"),
         )
     )
+
+
+DEFAULT_PRONOUNS = ("it", "this", "that", "they", "these", "those")
+PRED_REFERS_TO = KGP + "refersTo"
+
+
+def anaphora_links(
+    mentions: DataFrame,
+    transcripts: DataFrame,
+    lookback: int = 3,
+    pronouns: tuple = DEFAULT_PRONOUNS,
+) -> DataFrame:
+    """Anaphora-lite pronoun resolution for transcript KGs: every turn
+    whose text contains a standalone pronoun token links to the MOST
+    RECENT detected mention in the preceding ``lookback`` turns of the
+    same conversation — ``(conv_id, turn_idx, antecedent_turn,
+    concept_id)``.  The classic recency heuristic (the deterministic
+    core of rule-based resolvers like Hobbs 1978 / CogNIAC) — no parse,
+    no learned model, so both engines agree exactly.  Tie-break within
+    the antecedent turn: latest ``begin`` (nearest mention), then
+    lowest ``concept_id``.  Feed through ``_as_triples`` with
+    ``PRED_REFERS_TO`` to materialize turn->concept edges.
+
+    Same banded-join shape as ``cooccurrence_pairs``: the mention side
+    replicates to 2 adjacent (conv_id, turn-bucket) keys, so a hot
+    conversation costs O(pronoun_turns * lookback-window density), not
+    O(turns^2); one window (keyed on the pronoun turn) picks the top-1.
+    """
+    bw = int(lookback) + 1
+    pat = "(^| )(" + "|".join(pronouns) + ")( |$)"
+    p = transcripts.filter(F.lower(F.col("text")).rlike(pat)).select(
+        "conv_id",
+        F.col("turn_idx").alias("t"),
+        F.floor(F.col("turn_idx") / bw).alias("bkt"),
+    )
+    m = mentions.select(
+        "conv_id",
+        F.col("turn_idx").alias("mt"),
+        "concept_id",
+        "begin",
+        F.explode(
+            F.array(F.floor(F.col("turn_idx") / bw),
+                    F.floor(F.col("turn_idx") / bw) + 1)
+        ).alias("bkt"),
+    )
+    w = Window.partitionBy("conv_id", "t").orderBy(
+        F.desc("mt"), F.desc("begin"), F.asc("concept_id"))
+    return (
+        p.join(m, ["conv_id", "bkt"])
+        .filter((F.col("t") - F.col("mt") >= 1)
+                & (F.col("t") - F.col("mt") <= int(lookback)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "conv_id",
+            F.col("t").alias("turn_idx"),
+            F.col("mt").alias("antecedent_turn"),
+            "concept_id",
+        )
+    )

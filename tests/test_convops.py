@@ -147,3 +147,48 @@ def test_turn_retries(spark):
     got = [(r["turn_a"], r["turn_b"], r["n_inter"], r["n_union"])
            for r in turn_retries(t, threshold_pct=80).collect()]
     assert got == [(0, 2, 5, 5)]  # only the same-role exact repeat
+
+
+def test_conv_keywords(spark):
+    from kgpipe.convops import conv_keywords
+
+    rows = [
+        ("c1", 0, "u", "alpha alpha beta gamma xy", None, None),
+        ("c1", 1, "a", "beta beta beta gamma", None, None),
+        ("c2", 0, "u", "delta", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    got = conv_keywords(t, k=2, min_len=4).collect()
+    c1 = sorted([(r["token"], r["n"], r["rank"]) for r in got
+                 if r["conv_id"] == "c1"])
+    # beta 4x beats alpha 2x; gamma 2x ties alpha -> token asc: alpha
+    assert c1 == [("alpha", 2, 2), ("beta", 4, 1)]
+    # "xy" dropped by min_len; c2 has its single keyword
+    c2 = [(r["token"], r["rank"]) for r in got if r["conv_id"] == "c2"]
+    assert c2 == [("delta", 1)]
+
+
+def test_qa_pairs(spark):
+    from kgpipe.convops import qa_pairs
+
+    rows = [
+        ("c1", 0, "user", "how do i merge?", None, None),
+        ("c1", 1, "user", "also this?", None, None),
+        ("c1", 2, "assistant", "like so", None, None),
+        ("c1", 3, "user", "unanswered far q?", None, None),
+        ("c1", 9, "assistant", "too late", None, None),
+        ("c2", 0, "user", "q?", None, None),
+        ("c2", 1, "user", "same role follows", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    got = {(r["conv_id"], r["q_turn"]): (r["a_turn"], r["a_role"])
+           for r in qa_pairs(t, max_gap=3).collect()}
+    # both early questions answered by the FIRST different-role turn (2)
+    assert got[("c1", 0)] == (2, "assistant")
+    assert got[("c1", 1)] == (2, "assistant")
+    # turn 3's only later turn is 6 turns away -> no row
+    assert ("c1", 3) not in got
+    # c2's only follow-up shares the role -> no row
+    assert ("c2", 0) not in got

@@ -335,3 +335,62 @@ def test_degree_histogram(spark):
     assert got[1] == (4, 2, 2)
     assert got[3] == (1, 9, 9)
     assert set(got) == {0, 1, 3}
+
+
+def test_link_features(spark, triples):
+    from kgpipe.graph import link_features
+
+    # undirected simple graph: a-b, a-c, a-d, b-e, c-e, a-e
+    got = {(r["a"], r["b"]): r for r in link_features(triples).collect()}
+    # b and c share neighbors {a, e} and are NOT adjacent -> proposal
+    r = got[("b", "c")]
+    assert r["n_common"] == 2
+    assert r["deg_a"] == 2 and r["deg_b"] == 2  # b:{a,e}, c:{a,e}
+    assert r["n_union"] == 2  # full overlap
+    # b and d share only {a}; d's degree is 1
+    assert got[("b", "d")]["n_common"] == 1
+    assert got[("b", "d")]["n_union"] == 2
+    # adjacent pairs are anti-joined away by default
+    assert ("a", "b") not in got
+    with_adj = {(r["a"], r["b"]) for r in
+                link_features(triples, include_existing=True).collect()}
+    assert ("a", "b") in with_adj
+
+
+def test_link_features_center_cap(spark, triples):
+    from kgpipe.graph import link_features
+
+    # cap below a's degree (4): wedges through a vanish; b-c survives
+    # through e (degree 3 <= 3)
+    got = {(r["a"], r["b"]): r["n_common"]
+           for r in link_features(triples, max_center_degree=3).collect()}
+    assert got[("b", "c")] == 1  # only e remains as shared neighbor
+    assert ("b", "d") not in got  # its only center was a
+
+
+def test_hits(spark, triples):
+    from kgpipe.graph import hits
+    import numpy as np
+
+    rows = hits(triples, iters=8).collect()
+    ent = sorted({r["entity"] for r in rows})
+    h = {r["entity"]: r["hub"] for r in rows}
+    a = {r["entity"]: r["authority"] for r in rows}
+    # L1-normalized halves
+    assert abs(sum(h.values()) - 1.0) < 1e-9
+    assert abs(sum(a.values()) - 1.0) < 1e-9
+    # dense reference with identical normalization
+    idx = {e: i for i, e in enumerate(ent)}
+    M = np.zeros((len(ent), len(ent)))
+    for s, o in {("a", "b"), ("a", "c"), ("a", "d"), ("b", "e"),
+                 ("c", "e"), ("e", "a")}:
+        M[idx[s], idx[o]] = 1.0
+    hv = np.ones(len(ent))
+    for _ in range(8):
+        av = M.T @ hv
+        av /= av.sum()
+        hv = M @ av
+        hv /= hv.sum()
+    for e in ent:
+        assert abs(h[e] - hv[idx[e]]) < 1e-9
+        assert abs(a[e] - av[idx[e]]) < 1e-9

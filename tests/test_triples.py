@@ -290,3 +290,37 @@ def test_snapshot_diff_summary(spark):
            for r in snapshot_diff_summary(old, new).collect()}
     assert got == {("p", "added"): (2, 2), ("p", "removed"): (1, 1),
                    ("q", "removed"): (1, 1)}
+
+
+def test_anaphora_links(spark):
+    from kgpipe.triples import anaphora_links
+
+    t_rows = [
+        ("c1", 0, "u", "spark is here", None, None),
+        ("c1", 1, "a", "yes it works", None, None),
+        ("c1", 2, "u", "vector stuff", None, None),
+        ("c1", 3, "a", "try this now", None, None),
+        ("c1", 9, "u", "it again", None, None),  # nothing within lookback
+        ("c2", 0, "u", "it with no antecedent", None, None),
+    ]
+    t = spark.createDataFrame(
+        t_rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    m_rows = [
+        ("c1", 0, "T:0001", 0, 5, "spark"),
+        ("c1", 2, "T:0003", 0, 6, "vector"),
+        ("c1", 2, "T:0001", 7, 12, "spark"),  # same turn, later begin
+    ]
+    m = spark.createDataFrame(
+        m_rows,
+        ["conv_id", "turn_idx", "concept_id", "begin", "end",
+         "covered_text"])
+    got = {(r["conv_id"], r["turn_idx"]):
+           (r["antecedent_turn"], r["concept_id"])
+           for r in anaphora_links(m, t, lookback=3).collect()}
+    # turn 1's "it" -> the only prior mention (turn 0, spark)
+    assert got[("c1", 1)] == (0, "T:0001")
+    # turn 3's "this" -> turn 2, latest begin wins (spark at begin 7)
+    assert got[("c1", 3)] == (2, "T:0001")
+    # turn 9: nearest mention is 7 turns back -> no row; c2 has none
+    assert ("c1", 9) not in got and ("c2", 0) not in got
+    assert len(got) == 2
