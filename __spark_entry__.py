@@ -2158,6 +2158,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/out").select(
             "conv_id", "ta", "tb", "ca", "cb")
 
+    def q_path_query(spark, sf_dir):
+        from kgpipe.infer import path_query
+        from kgpipe.triples import PRED_COOCCURS, PRED_DENOTES
+
+        return path_query(
+            _triples(spark, sf_dir), [[PRED_DENOTES], [PRED_COOCCURS]])
+
+    def q_reciprocity(spark, sf_dir):
+        from kgpipe.graph import reciprocity
+
+        # the KG's own cooc edges are emitted ordered (ca < cb), so its
+        # reciprocity is structurally 0; exercise the operator on a
+        # deterministic directed graph over the orders table where
+        # reverse pairs actually occur
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        e = o.select(
+            (F.col("o_custkey") % 100).cast("string").alias("subj"),
+            F.lit("linksTo").alias("pred"),
+            (F.col("o_orderkey") % 100).cast("string").alias("obj"),
+        )
+        return reciprocity(e)
+
+    def q_entity_profile(spark, sf_dir):
+        from kgpipe.triples import (DC_IS_PART_OF, PRED_ROLE, PRED_TOOL,
+                                    entity_profile)
+
+        return entity_profile(
+            _triples(spark, sf_dir),
+            {"role": PRED_ROLE, "tool": PRED_TOOL, "conv": DC_IS_PART_OF},
+        )
+
+    def q_conv_dedup(spark, sf_dir):
+        from kgpipe.convops import conversation_fingerprints
+
+        t = _transcripts(spark, sf_dir)
+        # plant exact conversation replays so the keep-one flag bites:
+        # every conversation also appears under conv_id || '-dup'
+        dup = t.withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("-dup")))
+        return conversation_fingerprints(t.unionByName(dup))
+
+    def q_response_latency(spark, sf_dir):
+        from kgpipe.convops import response_latency
+
+        return response_latency(_conv_transcripts(spark, sf_dir))
+
     def q_link_features(spark, sf_dir):
         from kgpipe.graph import link_features
 
@@ -2212,6 +2258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_keywords": q_conv_keywords,
         "qa_pairs": q_qa_pairs,
         "anaphora": q_anaphora,
+        "path_query": q_path_query,
+        "reciprocity": q_reciprocity,
+        "entity_profile": q_entity_profile,
+        "conv_dedup": q_conv_dedup,
+        "response_latency": q_response_latency,
         "mention_detect": q_mention_detect,
         # registered early on purpose: these two were absent from the
         # round-2 driver artifact (sweep stopped at 50 entries), so they
@@ -3587,6 +3638,86 @@ cand AS (
    AND a.turn_idx > q.q_turn AND a.turn_idx <= q.q_turn + 3
    AND a.role <> q.q_role)
 SELECT conv_id, q_turn, q_role, a_turn, a_role FROM cand WHERE rn = 1""",
+        # property-path denotes/cooccursWith over the KG
+        # (kgpipe.infer.path_query; per-step DISTINCT mirrored)
+        "path_query": f"""
+{_SQL_TRIPLES},
+pp1 AS (SELECT DISTINCT subj, obj FROM tri
+        WHERE pred = 'http://purl.org/kgpipe/denotes'),
+pp2 AS (SELECT DISTINCT subj, obj FROM tri
+        WHERE pred IN ('http://purl.org/kgpipe/cooccursWith'))
+SELECT DISTINCT pp1.subj AS start, pp2.obj AS "end"
+FROM pp1 JOIN pp2 ON pp1.obj = pp2.subj""",
+        # dyad reciprocity over a deterministic orders-derived directed
+        # graph (kgpipe.graph.reciprocity; the KG's own cooc edges are
+        # ordered so reverses only occur here)
+        "reciprocity": """
+WITH re AS (
+  SELECT DISTINCT (o_custkey % 100)::varchar AS subj,
+         (o_orderkey % 100)::varchar AS obj
+  FROM orders),
+ren AS (SELECT * FROM re WHERE subj <> obj)
+SELECT (SELECT count(*) FROM ren)::bigint AS n_edges,
+       (SELECT count(*) FROM ren a
+        WHERE EXISTS (SELECT 1 FROM ren b
+                      WHERE b.subj = a.obj AND b.obj = a.subj))::bigint
+         AS n_reciprocal""",
+        # RDF property-table pivot: one wide row per subject with min
+        # object per selected predicate (kgpipe.triples.entity_profile)
+        "entity_profile": f"""
+{_SQL_TRIPLES}
+SELECT subj AS entity,
+       min(CASE WHEN pred = 'http://purl.org/kgpipe/hasRole'
+                THEN obj END) AS role,
+       min(CASE WHEN pred = 'http://purl.org/kgpipe/usedTool'
+                THEN obj END) AS tool,
+       min(CASE WHEN pred = 'http://purl.org/dc/terms/isPartOf'
+                THEN obj END) AS conv
+FROM tri
+WHERE pred IN ('http://purl.org/kgpipe/hasRole',
+               'http://purl.org/kgpipe/usedTool',
+               'http://purl.org/dc/terms/isPartOf')
+GROUP BY subj""",
+        # conversation-level exact dedup with planted '-dup' replays
+        # (kgpipe.convops.conversation_fingerprints: md5 over turns in
+        # (turn_idx, text) order, keep = lexicographically first conv)
+        "conv_dedup": f"""
+WITH {_SQL_TRANSCRIPTS.lstrip()},
+cd_all AS (
+  SELECT conv_id, turn_idx, text FROM transcripts
+  UNION ALL
+  SELECT conv_id || '-dup', turn_idx, text FROM transcripts),
+cd_hash AS (
+  SELECT conv_id,
+         md5(string_agg(turn_idx::varchar || ':' || text, '|'
+                        ORDER BY turn_idx, text)) AS conv_hash
+  FROM cd_all GROUP BY conv_id)
+SELECT conv_id, conv_hash,
+       conv_id = min(conv_id) OVER (PARTITION BY conv_hash) AS keep
+FROM cd_hash""",
+        # role-to-role response latency over the deterministic ts ramp
+        # (kgpipe.convops.response_latency on the unique-turn-key
+        # transcripts variant)
+        "response_latency": """
+WITH ct AS (
+  SELECT source || '-' || (doc_id % 10)::varchar AS conv_id,
+         (doc_id // 10)::int AS turn_idx,
+         CASE (doc_id % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         (1735689600 + (doc_id // 10) * 300
+          + ((doc_id // 10) // 7) * 7200)::bigint AS ts_s
+  FROM documents),
+rl AS (
+  SELECT conv_id, role AS to_role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS from_role,
+         ts_s - lag(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS gap_s
+  FROM ct)
+SELECT from_role, to_role, count(*)::bigint AS n_transitions,
+       sum(gap_s)::bigint AS total_gap_s
+FROM rl WHERE from_role IS NOT NULL AND gap_s IS NOT NULL
+GROUP BY from_role, to_role""",
         # anaphora-lite: pronoun turns ('it ' injected on turn %% 4 == 1)
         # -> most recent mention within 3 prior turns, tie-break latest
         # begin then lowest concept (kgpipe.triples.anaphora_links)

@@ -268,3 +268,65 @@ def qa_pairs(transcripts: DataFrame, max_gap: int = 3) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("conv_id", "q_turn", "q_role", "a_turn", "a_role")
     )
+
+
+def conversation_fingerprints(transcripts: DataFrame) -> DataFrame:
+    """Conversation-level exact dedup: ``(conv_id, conv_hash, keep)``
+    where ``conv_hash`` is the md5 of the conversation's turns joined
+    in (turn_idx, text) order and ``keep`` marks the lexicographically
+    first conv_id per hash — replayed / re-run conversations (the
+    agent-log analogue of document exact-dedup, which catches
+    per-TURN duplicates but not whole replays) collapse to one keeper.
+
+    One conv_id aggregation (sort_array over collected (turn_idx,
+    text) structs, so the hash is order-canonical regardless of input
+    row order) + one hash-keyed min window over the per-conversation
+    digest table — the second exchange carries one row per
+    conversation, never raw text.
+    """
+    digest = (
+        transcripts
+        .groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("turn_idx", "text"))).alias("_turns"))
+        .select(
+            "conv_id",
+            F.md5(F.concat_ws("|", F.transform(
+                "_turns",
+                lambda t: F.concat_ws(
+                    ":", t["turn_idx"].cast("string"), t["text"]),
+            ))).alias("conv_hash"),
+        )
+    )
+    w = Window.partitionBy("conv_hash")
+    return digest.withColumn(
+        "keep", F.col("conv_id") == F.min("conv_id").over(w))
+
+
+def response_latency(transcripts: DataFrame) -> DataFrame:
+    """Role-to-role response-time profile: for every adjacent turn pair
+    inside a conversation, aggregate ``(from_role, to_role,
+    n_transitions, total_gap_s)`` where the gap is the whole-second
+    timestamp delta — the turn-taking latency table (how long the
+    assistant keeps users waiting, how fast tools return) kept
+    exact-integer so it is oracle-hashable (mean latency is one
+    caller-side division).  Pairs with a NULL timestamp on either side
+    are excluded, mirroring ``sessionize``'s gap semantics.
+
+    One conv_id window (the shared transcript partitioning) + one
+    tiny (role x role) aggregate.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    prev_role = F.lag("role").over(w)
+    return (
+        transcripts
+        .withColumn("from_role", prev_role)
+        .withColumn("gap_s", gap)
+        .filter(F.col("from_role").isNotNull() & F.col("gap_s").isNotNull())
+        .groupBy("from_role", F.col("role").alias("to_role"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum("gap_s").cast("long").alias("total_gap_s"),
+        )
+    )

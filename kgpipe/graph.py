@@ -729,3 +729,23 @@ def hits(triples: DataFrame, iters: int = 5) -> DataFrame:
               "id")
         .withColumnRenamed("id", "entity")
     )
+
+
+def reciprocity(triples: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity summary over the distinct entity edge
+    set (self-loops dropped): one row ``(n_edges, n_reciprocal)`` where
+    ``n_reciprocal`` counts edges whose reverse edge also exists —
+    the standard dyad census numerator (reciprocity ratio =
+    n_reciprocal / n_edges, left to callers as the float).  For a
+    transcript KG this flags symmetric-by-construction predicate
+    families (cooccursWith) versus genuinely directional structure.
+
+    One left-semi self-join on the distinct edge set + one global
+    count — both partial-aggregated; nothing exceeds the edge count.
+    """
+    e = _edges(triples).filter(F.col("subj") != F.col("obj"))
+    rev = e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    recip = e.join(rev, ["subj", "obj"], "left_semi")
+    return e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).join(
+        recip.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )

@@ -306,3 +306,46 @@ def expand_ancestors(
             F.col("anc").alias("ancestor"))),
         concept_col,
     )
+
+
+def path_query(
+    triples: DataFrame, steps: Sequence[Sequence[str]]
+) -> DataFrame:
+    """SPARQL 1.1 property-path evaluation for fixed-length paths of
+    predicate ALTERNATIONS: ``steps=[["p1"], ["p2", "p3"]]`` matches
+    ``?s p1/(p2|p3) ?o`` and returns the DISTINCT ``(start, end)``
+    pairs.  The sequence (``/``) and alternation (``|``) operators —
+    the arbitrary-length ``+``/``*`` closure operator is
+    ``transitive_closure``; conjunctive patterns with shared variables
+    are ``match_pattern``.
+
+    One equi-join per step over the distinct (pred-filtered) edge set,
+    with the frontier DISTINCT-ed and localCheckpointed between steps:
+    duplicate path multiplicity never amplifies (the frontier is
+    bounded by |V|² regardless of how many distinct paths connect a
+    pair), and plan depth stays O(1).  Predicate filters push to the
+    triple scan.
+    """
+    if not steps:
+        raise ValueError("steps must name at least one predicate set")
+    cur = None
+    for alts in steps:
+        alts = list(alts)
+        if not alts:
+            raise ValueError("each step needs >= 1 predicate")
+        step = (
+            triples.filter(F.col("pred").isin(alts))
+            .select("subj", "obj")
+            .distinct()
+        )
+        if cur is None:
+            cur = step.select(
+                F.col("subj").alias("start"), F.col("obj").alias("node"))
+        else:
+            cur = (
+                cur.join(step, cur["node"] == step["subj"])
+                .select("start", F.col("obj").alias("node"))
+                .distinct()
+            )
+        cur = cur.localCheckpoint(eager=True)
+    return cur.select("start", F.col("node").alias("end")).distinct()

@@ -647,3 +647,33 @@ def anaphora_links(
             "concept_id",
         )
     )
+
+
+def entity_profile(
+    triples: DataFrame, columns: dict, subj_col: str = "subj"
+) -> DataFrame:
+    """RDF property-table materialization: pivot selected predicates
+    into one wide row per subject — ``columns`` maps output column name
+    -> predicate URI, and each cell is the MINIMUM object for that
+    (subject, predicate) so multi-valued predicates resolve
+    deterministically (missing ones are NULL).  The classic layout
+    downstream feature joins want (Wilkinson 2006, Jena property
+    tables) instead of one more self-join per attribute.
+
+    ONE subject-keyed partial aggregation with conditional-min
+    expressions — no per-predicate join, no Spark pivot (whose value
+    discovery adds a driver round-trip); the predicate filter pushes
+    to the scan.
+    """
+    if not columns:
+        raise ValueError("columns must map >= 1 output column to a pred")
+    preds = list(columns.values())
+    aggs = [
+        F.min(F.when(F.col("pred") == p, F.col("obj"))).alias(name)
+        for name, p in columns.items()
+    ]
+    return (
+        triples.filter(F.col("pred").isin(preds))
+        .groupBy(F.col(subj_col).alias("entity"))
+        .agg(*aggs)
+    )

@@ -192,3 +192,57 @@ def test_qa_pairs(spark):
     assert ("c1", 3) not in got
     # c2's only follow-up shares the role -> no row
     assert ("c2", 0) not in got
+
+
+def test_conversation_fingerprints(spark):
+    from kgpipe.convops import conversation_fingerprints
+
+    rows = [
+        # c1 and c3 are the same conversation content; c2 differs
+        ("c1", 0, "u", "hello there", None, None),
+        ("c1", 1, "a", "hi", None, None),
+        ("c3", 1, "a", "hi", None, None),   # out-of-order input rows
+        ("c3", 0, "u", "hello there", None, None),
+        ("c2", 0, "u", "hello there", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    got = {r["conv_id"]: r for r in
+           conversation_fingerprints(t).collect()}
+    assert got["c1"]["conv_hash"] == got["c3"]["conv_hash"]
+    assert got["c2"]["conv_hash"] != got["c1"]["conv_hash"]
+    # lexicographically first conv wins
+    assert got["c1"]["keep"] and not got["c3"]["keep"]
+    assert got["c2"]["keep"]
+
+
+def test_response_latency(spark):
+    import datetime as dt
+
+    from kgpipe.convops import response_latency
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("c1", 0, "user", "q", None, ts(0)),
+        ("c1", 1, "assistant", "a", None, ts(5)),
+        ("c1", 2, "user", "q2", None, ts(65)),
+        ("c1", 3, "assistant", "a2", None, ts(80)),
+        ("c2", 0, "user", "q", None, ts(0)),
+        ("c2", 1, "assistant", "a", None, None),  # NULL ts pair excluded
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    got = {(r["from_role"], r["to_role"]):
+           (r["n_transitions"], r["total_gap_s"])
+           for r in response_latency(t).collect()}
+    assert got[("user", "assistant")] == (2, 20)   # 5 + 15
+    assert got[("assistant", "user")] == (1, 60)
+    assert len(got) == 2

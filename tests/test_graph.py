@@ -394,3 +394,19 @@ def test_hits(spark, triples):
     for e in ent:
         assert abs(h[e] - hv[idx[e]]) < 1e-9
         assert abs(a[e] - av[idx[e]]) < 1e-9
+
+
+def test_reciprocity(spark):
+    from kgpipe.graph import reciprocity
+
+    rows = [
+        ("a", "p", "b"), ("b", "p", "a"),      # reciprocal pair
+        ("a", "q", "b"),                        # dup edge after distinct
+        ("a", "p", "c"),                        # one-way
+        ("d", "p", "d"),                        # self-loop dropped
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    r = reciprocity(t).collect()[0]
+    # distinct non-loop edges: a->b, b->a, a->c
+    assert r["n_edges"] == 3
+    assert r["n_reciprocal"] == 2

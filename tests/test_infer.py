@@ -238,3 +238,26 @@ def test_expand_ancestors(spark):
            for r in expand_ancestors(mentions, isa).collect()}
     # diamond dedup: A reaches R via both mids but yields ONE (A, R) row
     assert got == {("A", "M1"), ("A", "M2"), ("A", "R"), ("B", "R")}
+
+
+def test_path_query(spark):
+    from kgpipe.infer import path_query
+    import pytest as _pt
+
+    rows = [
+        ("t1", "denotes", "c1"), ("t1", "denotes", "c1"),  # dup path src
+        ("t2", "denotes", "c2"),
+        ("c1", "cooc", "c2"), ("c1", "rel", "c3"),
+        ("c2", "cooc", "c3"),
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {(r["start"], r["end"])
+           for r in path_query(t, [["denotes"], ["cooc", "rel"]]).collect()}
+    # t1 -denotes-> c1 -(cooc|rel)-> {c2, c3}; t2 -> c2 -cooc-> c3
+    assert got == {("t1", "c2"), ("t1", "c3"), ("t2", "c3")}
+    # single step = plain pred-filtered distinct edge set
+    one = {(r["start"], r["end"])
+           for r in path_query(t, [["denotes"]]).collect()}
+    assert one == {("t1", "c1"), ("t2", "c2")}
+    with _pt.raises(ValueError):
+        path_query(t, [])

@@ -324,3 +324,22 @@ def test_anaphora_links(spark):
     # turn 9: nearest mention is 7 turns back -> no row; c2 has none
     assert ("c1", 9) not in got and ("c2", 0) not in got
     assert len(got) == 2
+
+
+def test_entity_profile(spark):
+    from kgpipe.triples import entity_profile
+    import pytest as _pt
+
+    rows = [
+        ("e1", "hasRole", "user"), ("e1", "usedTool", "t2"),
+        ("e1", "usedTool", "t1"),      # multi-valued -> min wins
+        ("e2", "hasRole", "assistant"),
+        ("e3", "other", "x"),          # no selected predicate -> no row
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    prof = entity_profile(
+        t, {"role": "hasRole", "tool": "usedTool"})
+    got = {r["entity"]: (r["role"], r["tool"]) for r in prof.collect()}
+    assert got == {"e1": ("user", "t1"), "e2": ("assistant", None)}
+    with _pt.raises(ValueError):
+        entity_profile(t, {})
