@@ -2158,6 +2158,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/out").select(
             "conv_id", "ta", "tb", "ca", "cb")
 
+    def q_sameas_rewrite(spark, sf_dir):
+        from kgpipe.canon import rewrite_triples
+
+        obo = "http://purl.obolibrary.org/obo/"
+        m = spark.createDataFrame(
+            [(obo + "T_0002", obo + "T_0001"),
+             (obo + "T_0003", obo + "T_0001")],
+            ["id", "canon"])
+        return rewrite_triples(_triples(spark, sf_dir), m).select(
+            "subj", "pred", "obj", "conv_id", "turn_idx")
+
+    def q_concept_trends(spark, sf_dir):
+        from kgpipe.temporal import concept_trends
+
+        return concept_trends(
+            _mentions(spark, sf_dir), bucket_turns=8, spike_pct=200)
+
     def q_path_query(spark, sf_dir):
         from kgpipe.infer import path_query
         from kgpipe.triples import PRED_COOCCURS, PRED_DENOTES
@@ -2259,6 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_pairs": q_qa_pairs,
         "anaphora": q_anaphora,
         "path_query": q_path_query,
+        "sameas_rewrite": q_sameas_rewrite,
+        "concept_trends": q_concept_trends,
         "reciprocity": q_reciprocity,
         "entity_profile": q_entity_profile,
         "conv_dedup": q_conv_dedup,
@@ -3638,6 +3657,36 @@ cand AS (
    AND a.turn_idx > q.q_turn AND a.turn_idx <= q.q_turn + 3
    AND a.role <> q.q_role)
 SELECT conv_id, q_turn, q_role, a_turn, a_role FROM cand WHERE rn = 1""",
+        # owl:sameAs-style triple rewrite through a planted merge map
+        # (kgpipe.canon.rewrite_triples; multiset preserved)
+        "sameas_rewrite": f"""
+{_SQL_TRIPLES},
+sa_map(id, canon) AS (VALUES
+  ('http://purl.obolibrary.org/obo/T_0002',
+   'http://purl.obolibrary.org/obo/T_0001'),
+  ('http://purl.obolibrary.org/obo/T_0003',
+   'http://purl.obolibrary.org/obo/T_0001'))
+SELECT coalesce(s.canon, t.subj) AS subj, t.pred,
+       coalesce(o.canon, t.obj) AS obj, t.conv_id, t.turn_idx
+FROM tri t
+LEFT JOIN sa_map s ON t.subj = s.id
+LEFT JOIN sa_map o ON t.obj = o.id""",
+        # corpus-wide concept burst detection over the mention stream
+        # (kgpipe.temporal.concept_trends; bucket 8 turns, spike 200%,
+        # prev = previous OBSERVED bucket, cold start vs 0)
+        "concept_trends": f"""WITH {_SQL_MENTIONS.lstrip()},
+tr_cnt AS (
+  SELECT concept_id, (turn_idx // 8)::bigint AS bucket,
+         count(*)::bigint AS n
+  FROM mentions GROUP BY 1, 2),
+tr_lag AS (
+  SELECT concept_id, bucket, n,
+         coalesce(lag(n) OVER (PARTITION BY concept_id
+                               ORDER BY bucket), 0)::bigint AS prev_n
+  FROM tr_cnt)
+SELECT concept_id, bucket, n, prev_n,
+       n * 100 > 200 * prev_n AS spike
+FROM tr_lag""",
         # property-path denotes/cooccursWith over the KG
         # (kgpipe.infer.path_query; per-step DISTINCT mirrored)
         "path_query": f"""

@@ -235,3 +235,39 @@ def ontology_merge_edges(terms) -> list[tuple[str, str]]:
         for c in t.consider:
             out.append((t.id, c))
     return out
+
+
+def rewrite_triples(
+    triples, sameas, id_col: str = "id", canon_col: str = "canon"
+):
+    """owl:sameAs-style rewrite of an EXISTING triple table through a
+    canonicalization map (the union-find output of
+    ``connected_components`` / ``match_merge_map``, or any
+    (id, canon) frame): every subj/obj that appears in the map is
+    replaced by its canonical id, everything else passes through, all
+    other columns are preserved, and the triple MULTISET is kept
+    (dedup after merging is the caller's ``distinct()`` — merged
+    duplicates are often the signal, e.g. for support counting).
+    ``canonicalize`` rewrites mentions BEFORE triple construction;
+    this is the complementary after-the-fact path for graphs already
+    materialized when the merge map was learned.
+
+    Two broadcast left joins + coalesce — the map is entity-vocabulary
+    sized (synonym merges), never corpus sized, so no shuffle touches
+    the triple table.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.broadcast(sameas.select(
+        F.col(id_col).alias("_sid"), F.col(canon_col).alias("_scanon")))
+    o = F.broadcast(sameas.select(
+        F.col(id_col).alias("_oid"), F.col(canon_col).alias("_ocanon")))
+    return (
+        triples
+        .join(s, triples["subj"] == s["_sid"], "left")
+        .withColumn("subj", F.coalesce("_scanon", "subj"))
+        .drop("_sid", "_scanon")
+        .join(o, F.col("obj") == o["_oid"], "left")
+        .withColumn("obj", F.coalesce("_ocanon", "obj"))
+        .drop("_oid", "_ocanon")
+    )

@@ -266,3 +266,45 @@ def temporal_conflicts(
         & (F.col("to_b").isNull() | (F.col("from_a") < F.col("to_b")))
         & (F.col("to_a").isNull() | (F.col("from_b") < F.col("to_a")))
     )
+
+
+def concept_trends(
+    mentions, bucket_turns: int = 8, spike_pct: int = 200
+):
+    """Corpus-wide concept burst detection over the mention stream:
+    per (concept, turn-bucket of width ``bucket_turns``) mention
+    counts with the previous OBSERVED bucket's count and an
+    exact-integer spike flag — ``(concept_id, bucket, n, prev_n,
+    spike)`` where ``spike = n * 100 > spike_pct * prev_n`` (a bucket
+    with no earlier observation compares against ``prev_n = 0``, so a
+    concept's first appearance is flagged iff it appears at all —
+    the cold-start convention every burst detector must pick;
+    documented rather than hidden).  "Previous observed" (lag over
+    existing buckets, not bucket-1) keeps sparse concepts comparable
+    without densifying the bucket axis.
+
+    One (concept, bucket) partial-aggregated exchange + one
+    concept-keyed lag window over the AGGREGATE — per-concept window
+    size is its observed-bucket count, so no skew amplification
+    beyond the aggregation itself.
+    """
+    from pyspark.sql import Window, functions as F
+
+    counts = (
+        mentions
+        .groupBy(
+            "concept_id",
+            F.floor(F.col("turn_idx") / int(bucket_turns))
+            .cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("concept_id").orderBy("bucket")
+    return (
+        counts
+        .withColumn(
+            "prev_n", F.coalesce(F.lag("n").over(w), F.lit(0).cast("long")))
+        .withColumn(
+            "spike",
+            F.col("n") * 100 > F.lit(int(spike_pct)) * F.col("prev_n"))
+    )

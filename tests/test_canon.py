@@ -100,3 +100,18 @@ def test_connected_components_long_chain_converges(spark):
            for r in connected_components(edges, max_iter=12).collect()}
     assert len(got) == 100
     assert set(got.values()) == {"N000"}
+
+
+def test_rewrite_triples(spark):
+    from kgpipe.canon import rewrite_triples
+
+    tri = spark.createDataFrame(
+        [("x", "p", "y", 7), ("y", "p", "z", 8), ("a", "q", "x", 9),
+         ("x", "p", "y", 10)],  # duplicate pattern -> multiset kept
+        ["subj", "pred", "obj", "extra"])
+    m = spark.createDataFrame([("y", "x"), ("z", "x")], ["id", "canon"])
+    got = [(r["subj"], r["pred"], r["obj"], r["extra"])
+           for r in rewrite_triples(tri, m).collect()]
+    assert sorted(got) == sorted([
+        ("x", "p", "x", 7), ("x", "p", "x", 8), ("a", "q", "x", 9),
+        ("x", "p", "x", 10)])

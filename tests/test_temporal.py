@@ -254,3 +254,28 @@ def test_temporal_conflicts(spark):
     n = (temporal_conflicts(iv, keys=("key",), value_col="obj")
          .count())
     assert n == 4  # u appears twice against w (two u intervals)
+
+
+def test_concept_trends(spark):
+    from kgpipe.temporal import concept_trends
+
+    rows = (
+        # c1: bucket 0 has 1 mention, bucket 1 has 4 (spike), bucket 3
+        # has 2 (observed-prev is bucket 1's 4 -> no spike at 200%)
+        [("k", 0, "c1", 0, 1, "t")]
+        + [("k", 8 + i, "c1", 0, 1, "t") for i in range(4)]
+        + [("k", 24, "c1", 0, 1, "t"), ("k", 25, "c1", 0, 1, "t")]
+        # c2: single first appearance -> cold-start spike
+        + [("k", 3, "c2", 0, 1, "t")]
+    )
+    m = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "concept_id", "begin", "end",
+               "covered_text"])
+    got = {(r["concept_id"], r["bucket"]): (r["n"], r["prev_n"], r["spike"])
+           for r in concept_trends(m, bucket_turns=8,
+                                   spike_pct=200).collect()}
+    assert got[("c1", 0)] == (1, 0, True)    # cold start
+    assert got[("c1", 1)] == (4, 1, True)    # 400 > 200
+    assert got[("c1", 3)] == (2, 4, False)   # 200 > 800 is false
+    assert got[("c2", 0)] == (1, 0, True)
+    assert len(got) == 4
