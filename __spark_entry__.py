@@ -196,6 +196,16 @@ transcripts_neg AS (
   FROM transcripts)""" + _SQL_MENTIONS[len(_SQL_TRANSCRIPTS):].replace(
     "FROM transcripts\n", "FROM transcripts_neg\n")
 
+# the same mention-detection body over the UNIQUE-turn-key transcripts
+# variant (_conv_transcripts) — used by oracles whose semantics join
+# mentions back to their turn's text (mention_contexts)
+_SQL_CT_MENTIONS = """
+transcripts AS (
+  SELECT source || '-' || (doc_id % 10)::varchar AS conv_id,
+         (doc_id // 10)::int AS turn_idx, text
+  FROM documents
+)""" + _SQL_MENTIONS[len(_SQL_TRANSCRIPTS):]
+
 # full triple construction (all families incl. banded co-occurrence) as a
 # reusable prefix: kg_triples projects it raw; the graph_* analytics
 # queries aggregate over the same `tri` CTE
@@ -2158,6 +2168,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/out").select(
             "conv_id", "ta", "tb", "ca", "cb")
 
+    def q_mention_contexts(spark, sf_dir):
+        from kgpipe.detect import detect_mentions
+        from kgpipe.kgtrain import mention_contexts
+
+        # unique-turn-key transcripts so each mention joins exactly its
+        # own turn's text (the input_hint key-uniqueness contract)
+        ct = _conv_transcripts(spark, sf_dir)
+        m = detect_mentions(
+            ct, _tech_dictionary(spark), configs={"TECH": TECH_CFG}
+        ).select("conv_id", "turn_idx", "concept_id", "begin", "end")
+        return mention_contexts(m, ct, window_chars=30)
+
+    def q_abbreviations(spark, sf_dir):
+        from kgpipe.textops import abbreviations
+
+        # no parenthesized definitions in the word-salad corpus: inject
+        # a valid k=2, a valid k=3, and an initials-MISMATCHED negative
+        # deterministically by turn residue
+        t = _conv_transcripts(spark, sf_dir)
+        inj = (
+            F.when(F.col("turn_idx") % 6 == 2,
+                   F.concat(F.col("text"), F.lit(" fast table (ft)")))
+            .when(F.col("turn_idx") % 6 == 4,
+                  F.concat(F.col("text"), F.lit(" big scan (xq)")))
+            .when(F.col("turn_idx") % 6 == 0,
+                  F.concat(F.col("text"),
+                           F.lit(" sort window group (swg)")))
+            .otherwise(F.col("text")))
+        return abbreviations(t.withColumn("text", inj))
+
     def q_sameas_rewrite(spark, sf_dir):
         from kgpipe.canon import rewrite_triples
 
@@ -2278,6 +2318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_query": q_path_query,
         "sameas_rewrite": q_sameas_rewrite,
         "concept_trends": q_concept_trends,
+        "mention_contexts": q_mention_contexts,
+        "abbreviations": q_abbreviations,
         "reciprocity": q_reciprocity,
         "entity_profile": q_entity_profile,
         "conv_dedup": q_conv_dedup,
@@ -3657,6 +3699,54 @@ cand AS (
    AND a.turn_idx > q.q_turn AND a.turn_idx <= q.q_turn + 3
    AND a.role <> q.q_role)
 SELECT conv_id, q_turn, q_role, a_turn, a_role FROM cand WHERE rn = 1""",
+        # entity-mention training contexts: ±30 chars around each span
+        # (kgpipe.kgtrain.mention_contexts over unique-turn-key
+        # transcripts; substr arithmetic identical in both engines)
+        "mention_contexts": f"""WITH {_SQL_CT_MENTIONS.lstrip()}
+SELECT m.conv_id, m.turn_idx, m.concept_id, m.begin, m."end",
+       substr(t.text, greatest(m.begin - 29, 1),
+              least(m.begin, 30)) AS left_ctx,
+       substr(t.text, m."end" + 1, 30) AS right_ctx
+FROM mentions m JOIN transcripts t
+  ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx""",
+        # initialism abbreviation mining (kgpipe.textops.abbreviations,
+        # the deterministic Schwartz–Hearst initials subset) with one
+        # valid k=2, one valid k=3, and one mismatched negative injected
+        "abbreviations": """
+WITH abt AS (
+  SELECT source || '-' || (doc_id % 10)::varchar AS conv_id,
+         (doc_id // 10)::int AS turn_idx,
+         text || CASE WHEN (doc_id // 10) % 6 = 2 THEN ' fast table (ft)'
+                      WHEN (doc_id // 10) % 6 = 4 THEN ' big scan (xq)'
+                      WHEN (doc_id // 10) % 6 = 0
+                        THEN ' sort window group (swg)'
+                      ELSE '' END AS text
+  FROM documents),
+abtk AS (
+  SELECT conv_id, turn_idx,
+         generate_subscripts(string_split(lower(text), ' '), 1) - 1
+           AS pos,
+         unnest(string_split(lower(text), ' ')) AS tok
+  FROM abt),
+absf AS (
+  SELECT conv_id, turn_idx, pos AS sf_pos,
+         regexp_extract(tok, '^\\(([a-z]{2,4})\\)$', 1) AS sf
+  FROM abtk WHERE regexp_matches(tok, '^\\(([a-z]{2,4})\\)$')),
+abcand AS (
+  SELECT s.conv_id, s.turn_idx, s.sf_pos, s.sf, length(s.sf) AS k,
+         t.pos, t.tok
+  FROM absf s JOIN abtk t
+    ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+   AND t.pos >= s.sf_pos - length(s.sf) AND t.pos < s.sf_pos),
+abgrp AS (
+  SELECT conv_id, turn_idx, sf_pos, sf, k, count(*) AS n,
+         string_agg(substr(tok, 1, 1), '' ORDER BY pos, tok)
+           AS initials,
+         string_agg(tok, ' ' ORDER BY pos, tok) AS long_form
+  FROM abcand GROUP BY 1, 2, 3, 4, 5)
+SELECT conv_id, turn_idx, sf_pos::int AS pos, sf AS short_form,
+       long_form
+FROM abgrp WHERE n = k AND initials = sf""",
         # owl:sameAs-style triple rewrite through a planted merge map
         # (kgpipe.canon.rewrite_triples; multiset preserved)
         "sameas_rewrite": f"""

@@ -543,3 +543,38 @@ def pra_path_features(
         )
         .agg(F.countDistinct(F.col("e1.obj")).alias("n_paths"))
     )
+
+
+def mention_contexts(
+    mentions: DataFrame, transcripts: DataFrame, window_chars: int = 30
+) -> DataFrame:
+    """Entity-mention training contexts (the Wikipedia2Vec-style
+    anchor-context extraction, Yamada et al. 2016): for every detected
+    mention, the ``window_chars`` characters of turn text on each side
+    of the span — ``(conv_id, turn_idx, concept_id, begin, end,
+    left_ctx, right_ctx)``.  The (context, concept) pairs are the raw
+    material for entity-embedding / entity-linking training; windows
+    are character-based so they need no second tokenization pass and
+    stay exactly engine-portable.
+
+    One conv-keyed broadcast-eligible equi-join of mentions back to
+    turn text + two substring expressions — narrow, shuffle only on
+    the (conv_id, turn_idx) hash if neither side broadcasts; the text
+    column is dropped after the substrings so raw turns never travel
+    further than this join.
+    """
+    t = transcripts.select("conv_id", "turn_idx", "text")
+    left = F.substring(
+        F.col("text"),
+        F.greatest(F.col("begin") - int(window_chars) + 1, F.lit(1)),
+        F.least(F.col("begin"), F.lit(int(window_chars))),
+    )
+    right = F.substring(
+        F.col("text"), F.col("end") + 1, int(window_chars))
+    return (
+        mentions.join(t, ["conv_id", "turn_idx"])
+        .select(
+            "conv_id", "turn_idx", "concept_id", "begin", "end",
+            left.alias("left_ctx"), right.alias("right_ctx"),
+        )
+    )

@@ -775,3 +775,64 @@ def near_dup_clusters(
             F.coalesce("component", "doc_id").alias("keep_doc_id"),
         )
     )
+
+
+def abbreviations(
+    transcripts: DataFrame, max_len: int = 4
+) -> DataFrame:
+    """Abbreviation-definition mining, the deterministic initialism
+    core of Schwartz & Hearst (PSB 2003): a parenthesized short form
+    of 2-``max_len`` letters whose letters equal, in order, the
+    initials of the immediately preceding tokens defines that token
+    span as its long form — ``(conv_id, turn_idx, pos, short_form,
+    long_form)`` with ``pos`` the short form's 0-based token position
+    (multiple definitions per turn all surface).  The full S&H
+    right-to-left character alignment admits non-initial matches;
+    the initials-only subset is the high-precision rule that needs no
+    per-character loop, so both engines compute it identically.
+
+    posexplode + a turn-local position-band self-join (candidate
+    window ≤ ``max_len`` tokens per short form — bounded fan-out,
+    same banded shape as anaphora_links) + one order-canonical
+    aggregate.  Raw text never shuffles; only (turn key, pos, token).
+    """
+    toks = transcripts.select(
+        "conv_id", "turn_idx",
+        F.posexplode(F.split(F.lower(F.col("text")), " "))
+        .alias("pos", "tok"),
+    )
+    pat = r"^\(([a-z]{2,%d})\)$" % int(max_len)
+    sfs = (
+        toks.filter(F.col("tok").rlike(pat))
+        .select(
+            "conv_id", "turn_idx", F.col("pos").alias("sf_pos"),
+            F.regexp_extract("tok", pat, 1).alias("sf"),
+        )
+        .withColumn("k", F.length("sf"))
+    )
+    cand = sfs.join(toks, ["conv_id", "turn_idx"]).filter(
+        (F.col("pos") >= F.col("sf_pos") - F.col("k"))
+        & (F.col("pos") < F.col("sf_pos"))
+    )
+    grouped = (
+        cand.groupBy("conv_id", "turn_idx", "sf_pos", "sf", "k")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("pos", "tok"))).alias("_lf"))
+        .withColumn(
+            "_initials",
+            F.concat_ws("", F.transform(
+                "_lf", lambda s: F.substring(s["tok"], 1, 1))),
+        )
+    )
+    return (
+        grouped
+        .filter((F.size("_lf") == F.col("k"))
+                & (F.col("_initials") == F.col("sf")))
+        .select(
+            "conv_id", "turn_idx", F.col("sf_pos").alias("pos"),
+            F.col("sf").alias("short_form"),
+            F.concat_ws(
+                " ", F.transform("_lf", lambda s: s["tok"])
+            ).alias("long_form"),
+        )
+    )

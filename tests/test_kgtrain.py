@@ -304,3 +304,23 @@ def test_pra_path_features_brute_parity(spark):
                 expect.setdefault((s1, o2, p1, p2), set()).add(o1)
     expect = {k: len(v) for k, v in expect.items()}
     assert got == expect
+
+
+def test_mention_contexts(spark):
+    from kgpipe.kgtrain import mention_contexts
+
+    t = spark.createDataFrame(
+        [("c1", 0, "u", "alpha beta spark gamma delta", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    m = spark.createDataFrame(
+        [("c1", 0, "T:0001", 11, 16, "spark")],
+        ["conv_id", "turn_idx", "concept_id", "begin", "end",
+         "covered_text"])
+    r = mention_contexts(m, t, window_chars=6).collect()[0]
+    assert r["left_ctx"] == " beta "
+    assert r["right_ctx"] == " gamma"
+    # window wider than available text clips at the boundaries
+    r2 = mention_contexts(m, t, window_chars=100).collect()[0]
+    assert r2["left_ctx"] == "alpha beta "
+    assert r2["right_ctx"] == " gamma delta"

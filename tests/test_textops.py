@@ -319,3 +319,27 @@ def test_boilerplate_ngrams(spark):
     # only in ONE doc -> not boilerplate
     assert (rows[3].n_inst, rows[3].n_boiler) == (3, 0)
     assert abs(rows[1].boiler_frac - round(1 / 3, 4)) < 1e-9
+
+
+def test_abbreviations(spark):
+    from kgpipe.textops import abbreviations
+
+    rows = [
+        # valid k=2 and k=3 definitions in one turn
+        ("c1", 0, "u", "use fast table (ft) and sort window group (swg)",
+         None, None),
+        # initials mismatch -> rejected
+        ("c1", 1, "u", "big scan (xq) here", None, None),
+        # short form at turn start has no preceding tokens -> rejected
+        ("c2", 0, "u", "(ab) alpha beta", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    got = {(r["conv_id"], r["turn_idx"], r["short_form"]): r["long_form"]
+           for r in abbreviations(t).collect()}
+    assert got == {
+        ("c1", 0, "ft"): "fast table",
+        ("c1", 0, "swg"): "sort window group",
+    }
