@@ -243,7 +243,9 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
     )
 
 
-def kg_stats_report(triples: DataFrame) -> DataFrame:
+def kg_stats_report(
+    triples: DataFrame, approx: bool = False, rsd: float = 0.01
+) -> DataFrame:
     """One-row corpus dashboard for a KG build — the numbers a nightly
     job logs next to the snapshot pointer: ``(n_rows, n_triples,
     n_entities, n_preds, n_convs)`` = multiset row count, distinct
@@ -255,10 +257,20 @@ def kg_stats_report(triples: DataFrame) -> DataFrame:
     pass uses Spark's expand for its distinct counts, the entity count
     explodes (subj, obj) and distinct-counts the union — every step is
     a distributed partial aggregate (no collect_set of the vocabulary
-    into one buffer).  At 10^12 rows swap exact distincts for
-    approx_count_distinct with the same plan shape (documented trade;
-    the exact version is what the oracle hashes).
+    into one buffer).  ``approx=True`` swaps every distinct for
+    HyperLogLog++ ``approx_count_distinct(rsd=1%)`` in the SAME plan
+    shape — at 10^12 rows the exact expand rehashes the full triple
+    width per distinct while the sketch is constant-memory per
+    partition; the exact version is what the oracle hashes, the approx
+    version is the nightly-dashboard default at scale (pytest-bounded
+    against exact on the test corpus).
     """
+    if approx:
+        def cd(*cols):
+            c = F.struct(*cols) if len(cols) > 1 else cols[0]
+            return F.approx_count_distinct(c, rsd)
+    else:
+        cd = F.countDistinct
     base = triples.select(
         "subj", "pred", "obj",
         (F.col("conv_id") if "conv_id" in triples.columns
@@ -266,13 +278,12 @@ def kg_stats_report(triples: DataFrame) -> DataFrame:
     )
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.countDistinct("subj", "pred", "obj").cast("long")
-        .alias("n_triples"),
-        F.countDistinct("pred").cast("long").alias("n_preds"),
-        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        cd("subj", "pred", "obj").cast("long").alias("n_triples"),
+        cd("pred").cast("long").alias("n_preds"),
+        cd("conv_id").cast("long").alias("n_convs"),
     )
     ents = base.select(
         F.explode(F.array("subj", "obj")).alias("_e")
-    ).agg(F.countDistinct("_e").cast("long").alias("n_entities"))
+    ).agg(cd("_e").cast("long").alias("n_entities"))
     return stats.crossJoin(ents).select(
         "n_rows", "n_triples", "n_entities", "n_preds", "n_convs")

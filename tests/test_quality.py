@@ -131,3 +131,18 @@ def test_kg_stats_report(spark):
     # without a conv_id column: n_convs = 0
     r2 = kg_stats_report(t.drop("conv_id")).collect()[0]
     assert (r2["n_rows"], r2["n_convs"]) == (4, 0)
+
+
+def test_kg_stats_report_approx(spark):
+    from kgpipe.quality import kg_stats_report
+
+    tri = spark.createDataFrame(
+        [(f"e{i}", f"p{i % 3}", f"e{(i * 7) % 50}", f"c{i % 5}")
+         for i in range(200)],
+        ["subj", "pred", "obj", "conv_id"])
+    exact = kg_stats_report(tri).collect()[0]
+    approx = kg_stats_report(tri, approx=True).collect()[0]
+    assert approx["n_rows"] == exact["n_rows"]  # count is always exact
+    for c in ("n_triples", "n_entities", "n_preds", "n_convs"):
+        # HLL++ at 1% rsd on small cardinalities: generous 5% bound
+        assert abs(approx[c] - exact[c]) <= max(1, exact[c] * 0.05)
