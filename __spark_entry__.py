@@ -2168,6 +2168,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/out").select(
             "conv_id", "ta", "tb", "ca", "cb")
 
+    def q_rule_stats(spark, sf_dir):
+        from kgpipe.infer import rule_mining_stats
+        from kgpipe.triples import cooccurrence_pairs
+
+        # two co-occurrence predicates at nested windows: the tight one
+        # implies the wide one, so the subsumption rule has confidence
+        # 1.0 and the reverse is partial — a biting AMIE case
+        m = _mentions(spark, sf_dir)
+        c1 = cooccurrence_pairs(m, window=1).select(
+            F.col("ca").alias("subj"), F.lit("coocW1").alias("pred"),
+            F.col("cb").alias("obj"))
+        c3 = cooccurrence_pairs(m, window=3).select(
+            F.col("ca").alias("subj"), F.lit("coocW3").alias("pred"),
+            F.col("cb").alias("obj"))
+        return rule_mining_stats(c1.unionByName(c3))
+
+    def q_blocking_quality(spark, sf_dir):
+        from kgpipe.entitymatch import blocking_quality
+        from kgpipe.textops import minhash_lsh_pairs
+
+        # candidates = the minhash_pairs harness; gold = the planted
+        # exact replicas (doc_id, doc_id + 100000) — measures the LSH
+        # scheme's pair completeness on known duplicates
+        sub = _doubled(spark, sf_dir).filter(
+            (F.col("doc_id") % 100000) < 100)
+        cand = minhash_lsh_pairs(
+            sub, k=8, bands=4, jaccard_threshold=0.5)
+        gold = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 100000).alias("doc_b"))
+        return blocking_quality(cand, gold)
+
     def q_mention_contexts(spark, sf_dir):
         from kgpipe.detect import detect_mentions
         from kgpipe.kgtrain import mention_contexts
@@ -2320,6 +2352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concept_trends": q_concept_trends,
         "mention_contexts": q_mention_contexts,
         "abbreviations": q_abbreviations,
+        "rule_stats": q_rule_stats,
+        "blocking_quality": q_blocking_quality,
         "reciprocity": q_reciprocity,
         "entity_profile": q_entity_profile,
         "conv_dedup": q_conv_dedup,
@@ -3699,6 +3733,46 @@ cand AS (
    AND a.turn_idx > q.q_turn AND a.turn_idx <= q.q_turn + 3
    AND a.role <> q.q_role)
 SELECT conv_id, q_turn, q_role, a_turn, a_role FROM cand WHERE rn = 1""",
+        # AMIE-style depth-1 rule statistics over nested co-occurrence
+        # windows (kgpipe.infer.rule_mining_stats: coocW1 => coocW3 is
+        # exact, the reverse partial)
+        "rule_stats": f"""WITH {_SQL_MENTIONS.lstrip()},
+rs1 AS (
+  SELECT DISTINCT a.concept_id AS subj, 'coocW1' AS pred,
+         b.concept_id AS obj
+  FROM mentions a JOIN mentions b
+    ON a.conv_id = b.conv_id AND abs(a.turn_idx - b.turn_idx) <= 1
+   AND a.concept_id < b.concept_id),
+rs3 AS (
+  SELECT DISTINCT a.concept_id AS subj, 'coocW3' AS pred,
+         b.concept_id AS obj
+  FROM mentions a JOIN mentions b
+    ON a.conv_id = b.conv_id AND abs(a.turn_idx - b.turn_idx) <= 3
+   AND a.concept_id < b.concept_id),
+rse AS (SELECT subj, pred, obj FROM rs1
+        UNION SELECT subj, pred, obj FROM rs3),
+rsb AS (
+  SELECT a.pred AS pred1, b.pred AS pred2, count(*)::bigint AS n_both
+  FROM rse a JOIN rse b
+    ON a.subj = b.subj AND a.obj = b.obj AND a.pred <> b.pred
+  GROUP BY 1, 2),
+rst AS (SELECT pred AS pred1, count(*)::bigint AS n_p1
+        FROM rse GROUP BY pred)
+SELECT b.pred1, b.pred2, b.n_both, t.n_p1
+FROM rsb b JOIN rst t ON b.pred1 = t.pred1""",
+        # pair completeness of the MinHash-LSH scheme on the planted
+        # exact replicas (kgpipe.entitymatch.blocking_quality over the
+        # minhash_pairs harness)
+        "blocking_quality": f"""
+WITH {_minhash_cte(k=8, bands=4, threshold=0.5)},
+bq_c AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                greatest(doc_a, doc_b) AS b FROM pairs),
+bq_g AS (SELECT DISTINCT doc_id AS a, doc_id + 100000 AS b
+         FROM documents WHERE doc_id < 100)
+SELECT (SELECT count(*) FROM bq_c)::bigint AS n_cand,
+       (SELECT count(*) FROM bq_g)::bigint AS n_gold,
+       (SELECT count(*) FROM bq_g g JOIN bq_c c
+         ON g.a = c.a AND g.b = c.b)::bigint AS n_matched""",
         # entity-mention training contexts: ±30 chars around each span
         # (kgpipe.kgtrain.mention_contexts over unique-turn-key
         # transcripts; substr arithmetic identical in both engines)

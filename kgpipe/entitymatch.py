@@ -117,3 +117,39 @@ def match_merge_map(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         F.col("id_b").cast("string").alias("dst"),
     )
     return connected_components(edges, max_iter=max_iter)
+
+
+def blocking_quality(
+    cand_pairs: DataFrame,
+    gold_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Blocking-scheme evaluation, the pair-completeness half of the
+    standard blocking metrics (Christen, TKDE 2012): one row
+    ``(n_cand, n_gold, n_matched)`` over unordered-canonicalized
+    DISTINCT pairs, where ``n_matched`` counts gold pairs the blocking
+    scheme retained.  Pair completeness (blocking recall) is
+    ``n_matched / n_gold``; the reduction ratio needs the caller's raw
+    comparison-space size (integer-output policy).  The measurement
+    every hot-bucket cap / band count / threshold choice in the dedup
+    family should be tuned against.
+
+    Two canonicalize+distinct passes + one left-semi equi-join + three
+    1-row aggregates — everything keys on the id pair, no payloads.
+    """
+    def canon(df):
+        a, b = F.col(a_col), F.col(b_col)
+        return df.select(
+            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+        ).distinct()
+
+    c = canon(cand_pairs).localCheckpoint(eager=True)
+    g = canon(gold_pairs)
+    matched = g.join(c, ["_a", "_b"], "left_semi")
+    return (
+        c.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+        .join(g.agg(F.count(F.lit(1)).cast("long").alias("n_gold")))
+        .join(matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched")))
+    )

@@ -349,3 +349,43 @@ def path_query(
             )
         cur = cur.localCheckpoint(eager=True)
     return cur.select("start", F.col("node").alias("end")).distinct()
+
+
+def rule_mining_stats(
+    triples: DataFrame, min_support: int = 1
+) -> DataFrame:
+    """AMIE-style same-argument rule statistics (Galárraga et al.,
+    WWW 2013, the depth-1 case): for every ordered predicate pair
+    ``p1 != p2``, the support of the rule ``p1(x,y) => p2(x,y)`` —
+    ``(pred1, pred2, n_both, n_p1)`` where ``n_both`` counts distinct
+    entity pairs carrying BOTH predicates and ``n_p1`` is p1's
+    distinct-pair total, so standard confidence is the caller-side
+    ``n_both / n_p1`` (integer-output policy).  Finds redundant /
+    subsumed predicate families (e.g. a tight co-occurrence window
+    implying a wide one) before they bloat the KG.
+
+    One (subj, obj)-keyed self-join of the distinct triple set — the
+    per-pair fan-out is bounded by the predicate VOCABULARY (an entity
+    pair carries each predicate at most once after distinct), so the
+    join is vocab²-bounded per key, never corpus-quadratic — plus one
+    predicate-keyed total; the distinct edge set is localCheckpointed
+    across its two references.
+    """
+    e = (
+        triples.select("subj", "pred", "obj").distinct()
+        .localCheckpoint(eager=True)
+    )
+    both = (
+        e.alias("a").join(e.alias("b"), ["subj", "obj"])
+        .filter(F.col("a.pred") != F.col("b.pred"))
+        .groupBy(
+            F.col("a.pred").alias("pred1"),
+            F.col("b.pred").alias("pred2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= int(min_support))
+    )
+    tot = e.groupBy(F.col("pred").alias("pred1")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_p1"))
+    return both.join(tot, "pred1").select(
+        "pred1", "pred2", "n_both", "n_p1")

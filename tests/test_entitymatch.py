@@ -60,3 +60,17 @@ def test_match_merge_map(labels):
     # 1-2-3 form one cluster; 4-5 another
     assert comp["1"] == comp["2"] == comp["3"] == "1"
     assert comp["4"] == comp["5"] == "4"
+
+
+def test_blocking_quality(spark):
+    from kgpipe.entitymatch import blocking_quality
+
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6)], ["doc_a", "doc_b"])
+    gold = spark.createDataFrame(
+        [(2, 1), (3, 4), (7, 8)], ["doc_a", "doc_b"])
+    r = blocking_quality(cand, gold).collect()[0]
+    # (1,2)/(2,1) canonicalize to one candidate pair
+    assert r["n_cand"] == 3
+    assert r["n_gold"] == 3
+    assert r["n_matched"] == 2  # (7,8) was never blocked together

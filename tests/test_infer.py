@@ -261,3 +261,24 @@ def test_path_query(spark):
     assert one == {("t1", "c1"), ("t2", "c2")}
     with _pt.raises(ValueError):
         path_query(t, [])
+
+
+def test_rule_mining_stats(spark):
+    from kgpipe.infer import rule_mining_stats
+
+    rows = [
+        ("x", "p1", "y"), ("x", "p2", "y"), ("x", "p1", "y"),  # dup
+        ("a", "p1", "b"),
+        ("c", "p2", "d"), ("c", "p3", "d"),
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {(r["pred1"], r["pred2"]): (r["n_both"], r["n_p1"])
+           for r in rule_mining_stats(t).collect()}
+    # p1 => p2 holds on (x,y) only; p1 has 2 distinct pairs
+    assert got[("p1", "p2")] == (1, 2)
+    assert got[("p2", "p1")] == (1, 2)  # p2 also has 2 pairs
+    assert got[("p2", "p3")] == (1, 2)
+    assert got[("p3", "p2")] == (1, 1)  # p3 => p2 is exact
+    assert ("p1", "p3") not in got
+    # min_support filters
+    assert rule_mining_stats(t, min_support=2).count() == 0
