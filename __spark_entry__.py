@@ -2168,6 +2168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/out").select(
             "conv_id", "ta", "tb", "ca", "cb")
 
+    def q_path_rules(spark, sf_dir):
+        from kgpipe.infer import path_rule_stats
+
+        return path_rule_stats(_triples(spark, sf_dir))
+
     def q_rule_stats(spark, sf_dir):
         from kgpipe.infer import rule_mining_stats
         from kgpipe.triples import cooccurrence_pairs
@@ -2353,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_contexts": q_mention_contexts,
         "abbreviations": q_abbreviations,
         "rule_stats": q_rule_stats,
+        "path_rules": q_path_rules,
         "blocking_quality": q_blocking_quality,
         "reciprocity": q_reciprocity,
         "entity_profile": q_entity_profile,
@@ -3733,6 +3739,30 @@ cand AS (
    AND a.turn_idx > q.q_turn AND a.turn_idx <= q.q_turn + 3
    AND a.role <> q.q_role)
 SELECT conv_id, q_turn, q_role, a_turn, a_role FROM cand WHERE rn = 1""",
+        # AMIE length-2 path rules p1/p2 => p3 over the KG, mid guard
+        # mirrored from pra_features (kgpipe.infer.path_rule_stats)
+        "path_rules": f"""
+{_SQL_TRIPLES},
+pr_e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM tri),
+pr_eu AS (SELECT DISTINCT subj, obj FROM pr_e),
+pr_ok AS (SELECT subj FROM pr_eu GROUP BY subj
+          HAVING count(*) <= 100000),
+pr_pairs AS MATERIALIZED (
+  SELECT DISTINCT e1.subj AS x, e2.obj AS y,
+         e1.pred AS pred1, e2.pred AS pred2
+  FROM pr_e e1 JOIN pr_e e2 ON e1.obj = e2.subj
+  JOIN pr_ok ON e2.subj = pr_ok.subj
+  WHERE e2.obj <> e1.subj),
+pr_tot AS (SELECT pred1, pred2, count(*)::bigint AS n_pairs
+           FROM pr_pairs GROUP BY 1, 2),
+pr_sup AS (
+  SELECT p.pred1, p.pred2, e.pred AS pred3,
+         count(*)::bigint AS n_support
+  FROM pr_pairs p JOIN pr_e e ON p.x = e.subj AND p.y = e.obj
+  GROUP BY 1, 2, 3)
+SELECT s.pred1, s.pred2, s.pred3, s.n_support, t.n_pairs
+FROM pr_sup s JOIN pr_tot t
+  ON s.pred1 = t.pred1 AND s.pred2 = t.pred2""",
         # AMIE-style depth-1 rule statistics over nested co-occurrence
         # windows (kgpipe.infer.rule_mining_stats: coocW1 => coocW3 is
         # exact, the reverse partial)

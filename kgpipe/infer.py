@@ -389,3 +389,69 @@ def rule_mining_stats(
         F.count(F.lit(1)).cast("long").alias("n_p1"))
     return both.join(tot, "pred1").select(
         "pred1", "pred2", "n_both", "n_p1")
+
+
+def path_rule_stats(
+    triples: DataFrame,
+    max_mid_out: Optional[int] = 100_000,
+    min_support: int = 1,
+) -> DataFrame:
+    """AMIE path-rule statistics (Galárraga et al. 2013, the length-2
+    horn-rule case completing ``rule_mining_stats``): for the rule
+    ``p1(x,z) ∧ p2(z,y) => p3(x,y)``, the counts
+    ``(pred1, pred2, pred3, n_support, n_pairs)`` where ``n_pairs`` is
+    the number of distinct (x, y) entity pairs connected by a
+    (p1, p2) path (x != y) and ``n_support`` counts those also
+    carrying the DIRECT predicate p3 — standard confidence is the
+    caller-side ``n_support / n_pairs`` (integer-output policy).
+    Surfaces rules like "denotes/cooccursWith => denotes" that KG
+    completion can then apply.
+
+    Same mid-guarded 2-path join as ``kgtrain.pra_path_features``
+    (mids with entity fan-out > ``max_mid_out`` dropped before the
+    join, default on), then ONE distinct on (x, y, p1, p2) — so the
+    rule aggregates never see per-mid path multiplicity — one
+    (x, y)-keyed join against the direct edge set (fan-out bounded by
+    the predicate vocabulary), and two key-width aggregates.
+    """
+    e = (
+        triples.select("subj", "pred", "obj").distinct()
+        .localCheckpoint(eager=True)
+    )
+    if max_mid_out is not None:
+        ok_mids = (
+            e.select("subj", "obj").distinct()
+            .groupBy("subj").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") <= max_mid_out)
+            .select("subj")
+        )
+        right = e.join(ok_mids, "subj", "left_semi")
+    else:
+        right = e
+    pairs = (
+        e.alias("e1")
+        .join(right.alias("e2"), F.col("e1.obj") == F.col("e2.subj"))
+        .filter(F.col("e2.obj") != F.col("e1.subj"))
+        .select(
+            F.col("e1.subj").alias("x"), F.col("e2.obj").alias("y"),
+            F.col("e1.pred").alias("pred1"),
+            F.col("e2.pred").alias("pred2"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tot = pairs.groupBy("pred1", "pred2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    support = (
+        pairs.join(
+            e.select(F.col("subj").alias("x"),
+                     F.col("pred").alias("pred3"),
+                     F.col("obj").alias("y")),
+            ["x", "y"],
+        )
+        .groupBy("pred1", "pred2", "pred3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_support"))
+        .filter(F.col("n_support") >= int(min_support))
+    )
+    return support.join(tot, ["pred1", "pred2"]).select(
+        "pred1", "pred2", "pred3", "n_support", "n_pairs")

@@ -282,3 +282,42 @@ def test_rule_mining_stats(spark):
     assert ("p1", "p3") not in got
     # min_support filters
     assert rule_mining_stats(t, min_support=2).count() == 0
+
+
+def test_path_rule_stats(spark):
+    from kgpipe.infer import path_rule_stats
+
+    rows = [
+        # two (p1, p2) paths x->z1->y and x->z2->y collapse to ONE pair
+        ("x", "p1", "z1"), ("z1", "p2", "y"),
+        ("x", "p1", "z2"), ("z2", "p2", "y"),
+        ("x", "p3", "y"),              # direct edge -> support
+        ("a", "p1", "m"), ("m", "p2", "b"),  # path without direct edge
+        ("c", "p1", "c2"), ("c2", "p2", "c"),  # x == y excluded
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {(r["pred1"], r["pred2"], r["pred3"]):
+           (r["n_support"], r["n_pairs"])
+           for r in path_rule_stats(t).collect()}
+    # (p1, p2) connects {(x,y), (a,b)}; only (x,y) has direct p3
+    assert got[("p1", "p2", "p3")] == (1, 2)
+    # p1 itself is a direct predicate on path-connected pairs? no:
+    # (x,z1) pairs are not (p1,p2)-path endpoints -> no other rules
+    assert len(got) == 1
+
+
+def test_path_rule_stats_mid_guard(spark):
+    from kgpipe.infer import path_rule_stats
+
+    rows = (
+        [("x", "p1", "hub")]
+        + [("hub", "p2", f"y{i}") for i in range(20)]
+        + [("x", "p3", "y0")]
+    )
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    # hub fan-out 20 > cap 10 -> all hub-mediated paths vanish
+    assert path_rule_stats(t, max_mid_out=10).count() == 0
+    got = {(r["pred1"], r["pred2"], r["pred3"]): (r["n_support"],
+                                                  r["n_pairs"])
+           for r in path_rule_stats(t, max_mid_out=None).collect()}
+    assert got[("p1", "p2", "p3")] == (1, 20)
