@@ -827,6 +827,29 @@ r{t} AS MATERIALIZED (
             + f"\nSELECT id AS entity, round(r, 6) AS rank FROM r{iters}")
 
 
+# mid-guarded length-2 path pairs + rule support/total CTEs, shared by
+# the path_rules and rule_predictions oracles (mirrors
+# kgpipe.infer._path_pairs / path_rule_stats)
+_SQL_PATH_RULES = """
+pr_e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM tri),
+pr_eu AS (SELECT DISTINCT subj, obj FROM pr_e),
+pr_ok AS (SELECT subj FROM pr_eu GROUP BY subj
+          HAVING count(*) <= 100000),
+pr_pairs AS MATERIALIZED (
+  SELECT DISTINCT e1.subj AS x, e2.obj AS y,
+         e1.pred AS pred1, e2.pred AS pred2
+  FROM pr_e e1 JOIN pr_e e2 ON e1.obj = e2.subj
+  JOIN pr_ok ON e2.subj = pr_ok.subj
+  WHERE e2.obj <> e1.subj),
+pr_tot AS (SELECT pred1, pred2, count(*)::bigint AS n_pairs
+           FROM pr_pairs GROUP BY 1, 2),
+pr_sup AS (
+  SELECT p.pred1, p.pred2, e.pred AS pred3,
+         count(*)::bigint AS n_support
+  FROM pr_pairs p JOIN pr_e e ON p.x = e.subj AND p.y = e.obj
+  GROUP BY 1, 2, 3)"""
+
+
 def _hits_sql(iters: int = 3) -> str:
     """Unrolled L1-normalized HITS mirroring kgpipe.graph.hits — per
     round one authority half-step then one hub half-step, each divided
@@ -2173,6 +2196,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return path_rule_stats(_triples(spark, sf_dir))
 
+    def q_rule_predictions(spark, sf_dir):
+        from kgpipe.infer import apply_rules, path_rule_stats
+
+        t = _triples(spark, sf_dir)
+        return apply_rules(t, path_rule_stats(t), min_confidence_pct=50)
+
     def q_rule_stats(spark, sf_dir):
         from kgpipe.infer import rule_mining_stats
         from kgpipe.triples import cooccurrence_pairs
@@ -2359,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abbreviations": q_abbreviations,
         "rule_stats": q_rule_stats,
         "path_rules": q_path_rules,
+        "rule_predictions": q_rule_predictions,
         "blocking_quality": q_blocking_quality,
         "reciprocity": q_reciprocity,
         "entity_profile": q_entity_profile,
@@ -3742,27 +3772,28 @@ SELECT conv_id, q_turn, q_role, a_turn, a_role FROM cand WHERE rn = 1""",
         # AMIE length-2 path rules p1/p2 => p3 over the KG, mid guard
         # mirrored from pra_features (kgpipe.infer.path_rule_stats)
         "path_rules": f"""
-{_SQL_TRIPLES},
-pr_e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM tri),
-pr_eu AS (SELECT DISTINCT subj, obj FROM pr_e),
-pr_ok AS (SELECT subj FROM pr_eu GROUP BY subj
-          HAVING count(*) <= 100000),
-pr_pairs AS MATERIALIZED (
-  SELECT DISTINCT e1.subj AS x, e2.obj AS y,
-         e1.pred AS pred1, e2.pred AS pred2
-  FROM pr_e e1 JOIN pr_e e2 ON e1.obj = e2.subj
-  JOIN pr_ok ON e2.subj = pr_ok.subj
-  WHERE e2.obj <> e1.subj),
-pr_tot AS (SELECT pred1, pred2, count(*)::bigint AS n_pairs
-           FROM pr_pairs GROUP BY 1, 2),
-pr_sup AS (
-  SELECT p.pred1, p.pred2, e.pred AS pred3,
-         count(*)::bigint AS n_support
-  FROM pr_pairs p JOIN pr_e e ON p.x = e.subj AND p.y = e.obj
-  GROUP BY 1, 2, 3)
+{_SQL_TRIPLES},{_SQL_PATH_RULES}
 SELECT s.pred1, s.pred2, s.pred3, s.n_support, t.n_pairs
 FROM pr_sup s JOIN pr_tot t
   ON s.pred1 = t.pred1 AND s.pred2 = t.pred2""",
+        # KG completion by applying the >=50%-confidence mined rules to
+        # path-connected pairs lacking the direct edge
+        # (kgpipe.infer.apply_rules over path_rule_stats output)
+        "rule_predictions": f"""
+{_SQL_TRIPLES},{_SQL_PATH_RULES},
+ar_rules AS (
+  SELECT s.pred1, s.pred2, s.pred3 AS pred
+  FROM pr_sup s JOIN pr_tot t
+    ON s.pred1 = t.pred1 AND s.pred2 = t.pred2
+  WHERE s.n_support * 100 >= 50 * t.n_pairs),
+ar_cand AS (
+  SELECT DISTINCT p.x AS subj, r.pred, p.y AS obj, p.pred1, p.pred2
+  FROM pr_pairs p JOIN ar_rules r
+    ON p.pred1 = r.pred1 AND p.pred2 = r.pred2)
+SELECT c.subj, c.pred, c.obj, c.pred1, c.pred2
+FROM ar_cand c
+WHERE NOT EXISTS (SELECT 1 FROM pr_e e
+  WHERE e.subj = c.subj AND e.pred = c.pred AND e.obj = c.obj)""",
         # AMIE-style depth-1 rule statistics over nested co-occurrence
         # windows (kgpipe.infer.rule_mining_stats: coocW1 => coocW3 is
         # exact, the reverse partial)

@@ -391,29 +391,10 @@ def rule_mining_stats(
         "pred1", "pred2", "n_both", "n_p1")
 
 
-def path_rule_stats(
-    triples: DataFrame,
-    max_mid_out: Optional[int] = 100_000,
-    min_support: int = 1,
-) -> DataFrame:
-    """AMIE path-rule statistics (Galárraga et al. 2013, the length-2
-    horn-rule case completing ``rule_mining_stats``): for the rule
-    ``p1(x,z) ∧ p2(z,y) => p3(x,y)``, the counts
-    ``(pred1, pred2, pred3, n_support, n_pairs)`` where ``n_pairs`` is
-    the number of distinct (x, y) entity pairs connected by a
-    (p1, p2) path (x != y) and ``n_support`` counts those also
-    carrying the DIRECT predicate p3 — standard confidence is the
-    caller-side ``n_support / n_pairs`` (integer-output policy).
-    Surfaces rules like "denotes/cooccursWith => denotes" that KG
-    completion can then apply.
-
-    Same mid-guarded 2-path join as ``kgtrain.pra_path_features``
-    (mids with entity fan-out > ``max_mid_out`` dropped before the
-    join, default on), then ONE distinct on (x, y, p1, p2) — so the
-    rule aggregates never see per-mid path multiplicity — one
-    (x, y)-keyed join against the direct edge set (fan-out bounded by
-    the predicate vocabulary), and two key-width aggregates.
-    """
+def _path_pairs(triples: DataFrame, max_mid_out: Optional[int]):
+    """Shared by path_rule_stats / apply_rules: the distinct labeled
+    edge set plus the DISTINCT (x, y, pred1, pred2) endpoint pairs of
+    mid-guarded length-2 paths (x != y), both localCheckpointed."""
     e = (
         triples.select("subj", "pred", "obj").distinct()
         .localCheckpoint(eager=True)
@@ -440,6 +421,33 @@ def path_rule_stats(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    return e, pairs
+
+
+def path_rule_stats(
+    triples: DataFrame,
+    max_mid_out: Optional[int] = 100_000,
+    min_support: int = 1,
+) -> DataFrame:
+    """AMIE path-rule statistics (Galárraga et al. 2013, the length-2
+    horn-rule case completing ``rule_mining_stats``): for the rule
+    ``p1(x,z) ∧ p2(z,y) => p3(x,y)``, the counts
+    ``(pred1, pred2, pred3, n_support, n_pairs)`` where ``n_pairs`` is
+    the number of distinct (x, y) entity pairs connected by a
+    (p1, p2) path (x != y) and ``n_support`` counts those also
+    carrying the DIRECT predicate p3 — standard confidence is the
+    caller-side ``n_support / n_pairs`` (integer-output policy).
+    Surfaces rules like "denotes/cooccursWith => denotes" that KG
+    completion can then apply.
+
+    Same mid-guarded 2-path join as ``kgtrain.pra_path_features``
+    (mids with entity fan-out > ``max_mid_out`` dropped before the
+    join, default on), then ONE distinct on (x, y, p1, p2) — so the
+    rule aggregates never see per-mid path multiplicity — one
+    (x, y)-keyed join against the direct edge set (fan-out bounded by
+    the predicate vocabulary), and two key-width aggregates.
+    """
+    e, pairs = _path_pairs(triples, max_mid_out)
     tot = pairs.groupBy("pred1", "pred2").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"))
     support = (
@@ -455,3 +463,41 @@ def path_rule_stats(
     )
     return support.join(tot, ["pred1", "pred2"]).select(
         "pred1", "pred2", "pred3", "n_support", "n_pairs")
+
+
+def apply_rules(
+    triples: DataFrame,
+    rules: DataFrame,
+    min_confidence_pct: int = 50,
+    max_mid_out: Optional[int] = 100_000,
+) -> DataFrame:
+    """KG completion by horn-rule application — the consumer of
+    ``path_rule_stats``: every mined rule whose exact-integer
+    confidence clears ``min_confidence_pct`` (``n_support * 100 >=
+    pct * n_pairs``) predicts its head predicate for each
+    (pred1, pred2)-path-connected entity pair that does NOT already
+    carry it — ``(subj, pred, obj, pred1, pred2)``, the provenance
+    predicates kept so downstream review can audit why each triple was
+    proposed (the AMIE prediction step, Galárraga et al. 2013).
+
+    Reuses the mid-guarded distinct path-pair frame (one 2-path join,
+    shared shape with path_rule_stats), broadcast-joins the
+    vocabulary³-bounded qualifying-rule table onto it, and anti-joins
+    the existing edge set — no step exceeds the path-pair count.
+    """
+    e, pairs = _path_pairs(triples, max_mid_out)
+    good = rules.filter(
+        F.col("n_support") * 100
+        >= F.lit(int(min_confidence_pct)) * F.col("n_pairs")
+    ).select("pred1", "pred2", F.col("pred3").alias("pred"))
+    cand = pairs.join(F.broadcast(good), ["pred1", "pred2"])
+    existing = e.select(
+        F.col("subj").alias("x"), F.col("pred"), F.col("obj").alias("y"))
+    return (
+        cand.join(existing, ["x", "pred", "y"], "left_anti")
+        .select(
+            F.col("x").alias("subj"), "pred", F.col("y").alias("obj"),
+            "pred1", "pred2",
+        )
+        .distinct()
+    )

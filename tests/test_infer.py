@@ -321,3 +321,21 @@ def test_path_rule_stats_mid_guard(spark):
                                                   r["n_pairs"])
            for r in path_rule_stats(t, max_mid_out=None).collect()}
     assert got[("p1", "p2", "p3")] == (1, 20)
+
+
+def test_apply_rules(spark):
+    from kgpipe.infer import apply_rules, path_rule_stats
+
+    rows = [
+        # (p1, p2) connects (x,y) [direct p3 present] and (a,b) [absent]
+        ("x", "p1", "z1"), ("z1", "p2", "y"), ("x", "p3", "y"),
+        ("a", "p1", "m"), ("m", "p2", "b"),
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    rules = path_rule_stats(t)  # (p1,p2,p3): support 1 of 2 pairs
+    # at 50% the rule fires and predicts the missing edge only
+    got = [(r["subj"], r["pred"], r["obj"], r["pred1"], r["pred2"])
+           for r in apply_rules(t, rules, min_confidence_pct=50).collect()]
+    assert got == [("a", "p3", "b", "p1", "p2")]
+    # at 60% the 50%-confidence rule no longer qualifies
+    assert apply_rules(t, rules, min_confidence_pct=60).count() == 0
