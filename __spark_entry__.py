@@ -2196,6 +2196,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return path_rule_stats(_triples(spark, sf_dir))
 
+    def q_incremental_cooc(spark, sf_dir):
+        from kgpipe.triples import (cooccurrence_pairs,
+                                    cooccurrence_pairs_delta)
+
+        # incremental-maintenance exactness: old build (turns <= 15)
+        # union the delta (events involving any newer turn), counts
+        # summed per pair, hashed against the oracle's FULL rebuild —
+        # green means old ⊎ delta == from-scratch
+        m = _mentions(spark, sf_dir)
+        old = cooccurrence_pairs(
+            m.filter(F.col("turn_idx") <= 15), window=3)
+        delta = cooccurrence_pairs_delta(m, new_after=15, window=3)
+        return (
+            old.unionByName(delta)
+            .groupBy("conv_id", "ca", "cb")
+            .agg(F.sum("n").alias("n"))
+        )
+
     def q_rule_predictions(spark, sf_dir):
         from kgpipe.infer import apply_rules, path_rule_stats
 
@@ -2389,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_stats": q_rule_stats,
         "path_rules": q_path_rules,
         "rule_predictions": q_rule_predictions,
+        "incremental_cooc": q_incremental_cooc,
         "blocking_quality": q_blocking_quality,
         "reciprocity": q_reciprocity,
         "entity_profile": q_entity_profile,
@@ -3769,6 +3788,20 @@ cand AS (
    AND a.turn_idx > q.q_turn AND a.turn_idx <= q.q_turn + 3
    AND a.role <> q.q_role)
 SELECT conv_id, q_turn, q_role, a_turn, a_role FROM cand WHERE rn = 1""",
+        # incremental co-occurrence maintenance exactness: the Spark
+        # side computes old(<=15) ⊎ delta(new-involving events); the
+        # oracle rebuilds FULL counts from scratch — hash-green proves
+        # the partition of the event space is exact
+        # (kgpipe.triples.cooccurrence_pairs_delta)
+        "incremental_cooc": f"""
+WITH {_SQL_MENTIONS.lstrip()}
+SELECT a.conv_id, a.concept_id AS ca, b.concept_id AS cb,
+       count(*) AS n
+FROM mentions a JOIN mentions b
+  ON a.conv_id = b.conv_id
+ AND abs(a.turn_idx - b.turn_idx) <= 3
+ AND a.concept_id < b.concept_id
+GROUP BY a.conv_id, a.concept_id, b.concept_id""",
         # AMIE length-2 path rules p1/p2 => p3 over the KG, mid guard
         # mirrored from pra_features (kgpipe.infer.path_rule_stats)
         "path_rules": f"""

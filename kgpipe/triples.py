@@ -677,3 +677,56 @@ def entity_profile(
         .groupBy(F.col(subj_col).alias("entity"))
         .agg(*aggs)
     )
+
+
+def cooccurrence_pairs_delta(
+    mentions: DataFrame,
+    new_after: int,
+    window: int = 3,
+    concept_col: str = "concept_id",
+) -> DataFrame:
+    """Incremental-maintenance complement of ``cooccurrence_pairs``:
+    the co-occurrence events INVOLVING at least one new turn
+    (``max(ta, tb) > new_after``), counted per (conv_id, ca, cb) with
+    ``ca < cb``.  The exactness invariant this enables — and the
+    oracle row pins — is ``old_build ⊎ delta = full_rebuild`` (sum the
+    ``n`` counts per pair): a pair event with both turns old is
+    already in the old build, one with any new turn is here, and the
+    two sets partition the full event space.  Mention detection itself
+    is stateless per turn, so this window-spanning operator is the
+    ONLY piece of the triple family needing a delta variant; together
+    with ``merge_triples_snapshot`` it gives exact incremental KG
+    builds without reprocessing the old corpus.
+
+    Same banded (conv, turn-bucket) equi-join as
+    ``cooccurrence_pairs`` — the new-side predicate is one extra
+    filter riding the same join, so hot conversations keep the
+    O(n · window-density) bound.
+    """
+    bw = window + 1
+    a = mentions.select(
+        "conv_id",
+        F.col("turn_idx").alias("ta"),
+        F.col(concept_col).alias("ca"),
+        F.floor(F.col("turn_idx") / bw).alias("bkt"),
+    )
+    b = mentions.select(
+        "conv_id",
+        F.col("turn_idx").alias("tb"),
+        F.col(concept_col).alias("cb"),
+        F.explode(
+            F.array(*[
+                F.floor(F.col("turn_idx") / bw) + d for d in (-1, 0, 1)
+            ])
+        ).alias("bkt"),
+    )
+    return (
+        a.join(b, ["conv_id", "bkt"])
+        .filter(
+            (F.abs(F.col("ta") - F.col("tb")) <= window)
+            & (F.col("ca") < F.col("cb"))
+            & (F.greatest("ta", "tb") > int(new_after))
+        )
+        .groupBy("conv_id", "ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

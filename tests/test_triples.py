@@ -343,3 +343,36 @@ def test_entity_profile(spark):
     assert got == {"e1": ("user", "t1"), "e2": ("assistant", None)}
     with _pt.raises(ValueError):
         entity_profile(t, {})
+
+
+def test_cooccurrence_pairs_delta_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from kgpipe.triples import cooccurrence_pairs, cooccurrence_pairs_delta
+
+    rows = [
+        ("c1", t, f"T:{c:04d}", 0, 1, "x")
+        for t, c in [(0, 1), (1, 2), (2, 1), (3, 3), (4, 2), (5, 1),
+                     (6, 3), (7, 2)]
+    ] + [("c2", t, f"T:{c:04d}", 0, 1, "x")
+         for t, c in [(0, 1), (5, 2)]]
+    m = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "concept_id", "begin", "end",
+               "covered_text"])
+    cutoff = 3
+    full = cooccurrence_pairs(m, window=3)
+    old = cooccurrence_pairs(
+        m.filter(F.col("turn_idx") <= cutoff), window=3)
+    delta = cooccurrence_pairs_delta(m, new_after=cutoff, window=3)
+    merged = (
+        old.unionByName(delta)
+        .groupBy("conv_id", "ca", "cb")
+        .agg(F.sum("n").alias("n"))
+    )
+    f = {(r["conv_id"], r["ca"], r["cb"]): r["n"] for r in full.collect()}
+    g = {(r["conv_id"], r["ca"], r["cb"]): r["n"]
+         for r in merged.collect()}
+    assert f == g and len(f) > 0
+    # the delta alone contains only new-involving events
+    d = {(r["conv_id"], r["ca"], r["cb"]): r["n"] for r in delta.collect()}
+    assert all(v >= 1 for v in d.values()) and d != f
